@@ -1,0 +1,283 @@
+"""CKKS context: parameters and all precomputed tables, host + device.
+
+Reference parity: this is the TPU-native analog of `NewScheme`
+(`orion/backend/lattigo/scheme.go:35-86`) plus the precomputations Lattigo
+keeps inside its ring/evaluator objects.  Differences by design:
+
+  * Ciphertexts are jax arrays, not opaque handles; the context's device
+    tables (twiddles, key-switch constants) are closed over by jitted pure
+    functions, so XLA sees them as constants and fuses freely.
+  * All RNS primes are < 2^31 (32-bit TPU lanes).  Config moduli wider than
+    30 bits are split into several primes by `config.py` before reaching us.
+  * Hybrid key-switching uses the CRT-indicator gadget: the key for digit j
+    encrypts g_j * s' where g_j = P mod q_i on the digit's primes and 0 on
+    all other Q primes (and 0 mod every special prime).  This single key set
+    is valid at every level, so no per-level key material is generated.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import primes as primegen
+from .modops import shoup_precompute
+from .ref import HostRing, bit_reverse_indices
+
+
+def _np_u32(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.uint32)
+
+
+def _shoup_arr(vals: np.ndarray, p: int) -> np.ndarray:
+    """Vectorised Shoup companions: floor(v << 32 / p), exact in uint64."""
+    v = np.asarray(vals, dtype=np.uint64)
+    return ((v << np.uint64(32)) // np.uint64(p)).astype(np.uint32)
+
+
+@dataclass
+class DigitTables:
+    """Fast-basis-conversion constants for one decomposition digit."""
+    src_idx: list[int]            # global prime indices of the digit
+    qhat_inv: np.ndarray          # (alpha,)  [(D/d_m)^-1]_{d_m}
+    qhat_inv_shoup: np.ndarray
+    conv: np.ndarray              # (alpha, n_t)  [D/d_m]_t
+    conv_shoup: np.ndarray
+    d_mod_t: np.ndarray           # (n_t,)  [D]_t
+    d_mod_t_shoup: np.ndarray
+    src_q: np.ndarray             # (alpha,) source primes as float32 for v-est
+
+
+@dataclass
+class LevelKSTables:
+    """Per-level key-switch/rescale constants (targets = q_0..q_l + specials)."""
+    level: int
+    digits: list[DigitTables]
+    # ModDown by P: FBC from special primes to q_0..q_l, then * P^-1
+    moddown: DigitTables
+    pinv_mod_q: np.ndarray        # (l+1,) [P^-1]_{q_i}
+    pinv_mod_q_shoup: np.ndarray
+    # Rescale (drop q_l): centered lift of last limb + * q_l^-1
+    qlast_mod_t: np.ndarray       # (l,) [q_l]_t
+    qlast_mod_t_shoup: np.ndarray
+    qlast_inv: np.ndarray         # (l,) [q_l^-1]_t
+    qlast_inv_shoup: np.ndarray
+
+
+class CKKSContext:
+    """Every table needed by host crypto and device kernels."""
+
+    def __init__(self, logn: int, logq: list[int], logp: list[int],
+                 logscale: int, h: int, ring_type: str = "standard",
+                 seed: int = 0):
+        if ring_type.lower() not in ("standard",):
+            raise NotImplementedError(
+                f"ring type {ring_type!r}: the TPU stack currently implements "
+                "the standard ring (slots = N/2)")
+        self.logn = logn
+        self.n = 1 << logn
+        self.slots = self.n // 2
+        self.logq = list(logq)
+        self.logp = list(logp)
+        self.logscale = logscale
+        self.default_scale = float(1 << logscale)
+        self.h = h
+        self.ring_type = "standard"
+        self.seed = seed
+
+        two_n = 2 * self.n
+        qs = primegen.generate_primes(self.logq, two_n)
+        ps = primegen.generate_primes(self.logp, two_n, avoid=set(qs))
+        self.q_primes = qs              # moduli chain, q_0 first
+        self.p_primes = ps              # special primes
+        self.primes = qs + ps           # global prime order: Q then P
+        self.n_q = len(qs)
+        self.n_p = len(ps)
+        self.n_all = self.n_q + self.n_p
+        self.max_level = self.n_q - 1
+        self.alpha = max(self.n_p, 1)
+        self.P = 1
+        for p in ps:
+            self.P *= p
+
+        self.psis = [primegen.primitive_root_2n(p, two_n) for p in self.primes]
+        self.host = HostRing(self.primes, self.n, self.psis)
+
+        self._build_device_tables()
+        self.ks_tables = {l: self._build_level_tables(l)
+                          for l in range(self.n_q)}
+        self._perm_cache: dict[int, np.ndarray] = {}
+
+        # slot <-> evaluation-point bookkeeping for automorphisms/encoding
+        self._brev = bit_reverse_indices(self.n)
+        # NTT-domain position j holds the evaluation at psi^(2*bitrev(j)+1)
+        self._pos_to_exp = (2 * self._brev + 1) % two_n
+
+    # ------------------------------------------------------------------ #
+    #  Device tables                                                     #
+    # ------------------------------------------------------------------ #
+
+    def _build_device_tables(self):
+        import jax.numpy as jnp
+
+        n, n_all = self.n, self.n_all
+        p_arr = np.zeros(n_all, np.uint32)
+        pinv = np.zeros(n_all, np.uint32)
+        r_mod = np.zeros(n_all, np.uint32)
+        r_shoup = np.zeros(n_all, np.uint32)
+        tw = np.zeros((n_all, n), np.uint32)
+        tw_sh = np.zeros((n_all, n), np.uint32)
+        itw = np.zeros((n_all, n), np.uint32)
+        itw_sh = np.zeros((n_all, n), np.uint32)
+        ninv = np.zeros(n_all, np.uint32)
+        ninv_sh = np.zeros(n_all, np.uint32)
+
+        for i, p in enumerate(self.primes):
+            ring = self.host.rings[i]
+            p_arr[i] = p
+            pinv[i] = (-pow(p, -1, 1 << 32)) % (1 << 32)
+            r = (1 << 32) % p
+            r_mod[i] = r
+            r_shoup[i] = shoup_precompute(r, p)
+            tw[i] = ring.tw.astype(np.uint32)
+            tw_sh[i] = _shoup_arr(ring.tw, p)
+            itw[i] = ring.itw.astype(np.uint32)
+            itw_sh[i] = _shoup_arr(ring.itw, p)
+            ninv[i] = ring.ninv
+            ninv_sh[i] = shoup_precompute(ring.ninv, p)
+
+        as_dev = jnp.asarray
+        self.dev = {
+            "p": as_dev(p_arr), "pinv": as_dev(pinv),
+            "r_mod": as_dev(r_mod), "r_shoup": as_dev(r_shoup),
+            "tw": as_dev(tw), "tw_shoup": as_dev(tw_sh),
+            "itw": as_dev(itw), "itw_shoup": as_dev(itw_sh),
+            "ninv": as_dev(ninv), "ninv_shoup": as_dev(ninv_sh),
+        }
+
+    # ------------------------------------------------------------------ #
+    #  Key-switch constants                                              #
+    # ------------------------------------------------------------------ #
+
+    def _digit_tables(self, src_idx: list[int], tgt_idx: list[int]) -> DigitTables:
+        src = [self.primes[i] for i in src_idx]
+        tgt = [self.primes[i] for i in tgt_idx]
+        d_prod = 1
+        for q in src:
+            d_prod *= q
+        alpha, n_t = len(src), len(tgt)
+        qhat_inv = np.zeros(alpha, np.uint32)
+        qhat_inv_sh = np.zeros(alpha, np.uint32)
+        conv = np.zeros((alpha, n_t), np.uint32)
+        conv_sh = np.zeros((alpha, n_t), np.uint32)
+        d_mod = np.zeros(n_t, np.uint32)
+        d_mod_sh = np.zeros(n_t, np.uint32)
+        for m, qm in enumerate(src):
+            qhat = d_prod // qm
+            qi = pow(qhat % qm, -1, qm) if alpha > 1 else 1
+            qhat_inv[m] = qi
+            qhat_inv_sh[m] = shoup_precompute(qi, qm)
+            for t, qt in enumerate(tgt):
+                c = qhat % qt
+                conv[m, t] = c
+                conv_sh[m, t] = shoup_precompute(c, qt)
+        for t, qt in enumerate(tgt):
+            dm = d_prod % qt
+            d_mod[t] = dm
+            d_mod_sh[t] = shoup_precompute(dm, qt)
+        return DigitTables(
+            src_idx=list(src_idx),
+            qhat_inv=qhat_inv, qhat_inv_shoup=qhat_inv_sh,
+            conv=conv, conv_shoup=conv_sh,
+            d_mod_t=d_mod, d_mod_t_shoup=d_mod_sh,
+            src_q=np.asarray(src, dtype=np.float32),
+        )
+
+    def _build_level_tables(self, level: int) -> LevelKSTables:
+        nq = level + 1
+        tgt_idx = list(range(nq)) + list(range(self.n_q, self.n_all))
+        digits = []
+        for j in range(math.ceil(nq / self.alpha)):
+            src = list(range(j * self.alpha, min((j + 1) * self.alpha, nq)))
+            digits.append(self._digit_tables(src, tgt_idx))
+
+        moddown = self._digit_tables(
+            list(range(self.n_q, self.n_all)), list(range(nq)))
+        pinv_q = np.zeros(nq, np.uint32)
+        pinv_q_sh = np.zeros(nq, np.uint32)
+        for i in range(nq):
+            qi = self.primes[i]
+            v = pow(self.P % qi, -1, qi)
+            pinv_q[i] = v
+            pinv_q_sh[i] = shoup_precompute(v, qi)
+
+        # rescale constants (only meaningful for level >= 1)
+        nl = max(level, 1)
+        qlast = self.primes[level]
+        ql_mod = np.zeros(level, np.uint32)
+        ql_mod_sh = np.zeros(level, np.uint32)
+        ql_inv = np.zeros(level, np.uint32)
+        ql_inv_sh = np.zeros(level, np.uint32)
+        for i in range(level):
+            qi = self.primes[i]
+            ql_mod[i] = qlast % qi
+            ql_mod_sh[i] = shoup_precompute(qlast % qi, qi)
+            v = pow(qlast % qi, -1, qi)
+            ql_inv[i] = v
+            ql_inv_sh[i] = shoup_precompute(v, qi)
+
+        return LevelKSTables(
+            level=level, digits=digits, moddown=moddown,
+            pinv_mod_q=pinv_q, pinv_mod_q_shoup=pinv_q_sh,
+            qlast_mod_t=ql_mod, qlast_mod_t_shoup=ql_mod_sh,
+            qlast_inv=ql_inv, qlast_inv_shoup=ql_inv_sh,
+        )
+
+    # ------------------------------------------------------------------ #
+    #  Automorphisms                                                     #
+    # ------------------------------------------------------------------ #
+
+    def automorphism_perm(self, k: int) -> np.ndarray:
+        """NTT-domain permutation for tau_k: out[j] = in[perm[j]].
+
+        Position j evaluates at psi^e(j) with e(j) = 2*bitrev(j)+1; tau_k maps
+        that to the evaluation at psi^(e(j)*k), i.e. input position j' with
+        e(j') = e(j)*k mod 2N.
+        """
+        k = k % (2 * self.n)
+        if k in self._perm_cache:
+            return self._perm_cache[k]
+        two_n = 2 * self.n
+        e = self._pos_to_exp
+        e_src = (e * k) % two_n
+        # invert e(j') = 2*bitrev(j')+1  =>  j' = bitrev((e_src-1)/2)
+        j_src = self._brev[(e_src - 1) // 2]
+        perm = j_src.astype(np.int32)
+        self._perm_cache[k] = perm
+        return perm
+
+    def galois_element(self, rot: int) -> int:
+        """Galois element for a left rotation by `rot` slots."""
+        return pow(5, rot % self.slots, 2 * self.n)
+
+    def galois_element_conj(self) -> int:
+        return 2 * self.n - 1
+
+    # ------------------------------------------------------------------ #
+    #  Misc helpers                                                      #
+    # ------------------------------------------------------------------ #
+
+    def q_prod(self, level: int) -> int:
+        out = 1
+        for q in self.q_primes[: level + 1]:
+            out *= q
+        return out
+
+    def moduli_chain(self) -> list[int]:
+        return list(self.q_primes)
+
+    def scale_after_rescale(self, scale: float, level: int) -> float:
+        return scale / self.q_primes[level]

@@ -1,0 +1,132 @@
+"""Host-side CKKS encode/decode via the canonical embedding.
+
+Reference parity: `orion/backend/lattigo/encoder.go` (Encode/Decode).  Like a
+real deployment, encode/decode/keygen/encrypt/decrypt are client-side host
+operations (numpy float64/bigint, exact integer handling); only homomorphic
+evaluation runs on the TPU.
+
+Slot convention: slot j holds m(psi^{e_j}) with e_j = 5^j mod 2N (standard
+CKKS orbit), so a Galois automorphism with element 5^r is a left-rotation by
+r slots.  The embedding is evaluated with length-2N FFTs (O(N log N)).
+
+Precision: float64 gives relative encoding error ~2^-53, far below the CKKS
+noise floor for every parameter set in configs/ (the e2e oracle is the
+reference's MAE < 0.005 bound, `tests/models/test_mlp.py:47`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .context import CKKSContext
+
+
+class Encoder:
+    def __init__(self, ctx: CKKSContext):
+        self.ctx = ctx
+        n = ctx.n
+        two_n = 2 * n
+        slots = ctx.slots
+        e = np.empty(slots, dtype=np.int64)
+        acc = 1
+        for j in range(slots):
+            e[j] = acc
+            acc = (acc * 5) % two_n
+        self.rot_group = e  # e_j = 5^j mod 2N
+
+    # -------------------- embedding -------------------- #
+
+    def slots_to_coeffs(self, v: np.ndarray) -> np.ndarray:
+        """Inverse canonical embedding: slots (complex, len N/2) -> real coeffs.
+
+        a_k = (2/N) * Re( sum_j v_j * conj(psi^(k e_j)) ), computed by placing
+        v_j at spectrum position e_j and taking a length-2N FFT.
+        """
+        n, two_n = self.ctx.n, 2 * self.ctx.n
+        spec = np.zeros(two_n, dtype=np.complex128)
+        spec[self.rot_group] = v
+        a = np.fft.fft(spec)[:n]
+        return (2.0 / n) * a.real
+
+    def coeffs_to_slots(self, a: np.ndarray) -> np.ndarray:
+        """Canonical embedding: real coeffs (len N) -> slots (complex, N/2)."""
+        two_n = 2 * self.ctx.n
+        vals = np.fft.ifft(a, two_n) * two_n
+        return vals[self.rot_group]
+
+    # -------------------- integer paths -------------------- #
+
+    def coeffs_to_rns(self, coeffs: np.ndarray, level: int) -> np.ndarray:
+        """Round real coefficients and reduce mod the first level+1 primes."""
+        nl = level + 1
+        c = np.round(coeffs)
+        if np.max(np.abs(c)) < 2**62:
+            ci = c.astype(np.int64)
+            return self.ctx.host.reduce(ci, nl)
+        # big coefficients: exact via python ints (rare; bootstrap-scale)
+        ci = np.array([int(x) for x in c], dtype=object)
+        return self.ctx.host.reduce(ci, nl)
+
+    def rns_to_coeffs(self, rns: np.ndarray) -> np.ndarray:
+        """CRT-reconstruct centered integer coefficients -> float64."""
+        nl = rns.shape[0]
+        primes = self.ctx.q_primes[:nl]
+        q_prod = self.ctx.q_prod(nl - 1)
+        if nl == 1:
+            p = primes[0]
+            x = rns[0].astype(np.int64)
+            x = np.where(x > p // 2, x - p, x)
+            return x.astype(np.float64)
+        acc = np.zeros(self.ctx.n, dtype=object)
+        for i, p in enumerate(primes):
+            qhat = q_prod // p
+            coef = (qhat * pow(qhat % p, -1, p)) % q_prod
+            acc = (acc + rns[i].astype(object) * coef) % q_prod
+        acc = np.where(acc > q_prod // 2, acc - q_prod, acc)
+        return acc.astype(np.float64)
+
+    # -------------------- public API -------------------- #
+
+    def encode(self, values: np.ndarray, level: int | None = None,
+               scale: float | None = None, with_shoup: bool = False):
+        """Encode one slot vector (len <= slots, zero-padded) into RNS NTT form.
+
+        Returns (rns_ntt int64[level+1, N], scale).  `with_shoup` additionally
+        returns the uint32 Shoup companion for plaintext-multiplicand use.
+        """
+        ctx = self.ctx
+        if level is None:
+            level = ctx.max_level
+        if scale is None:
+            scale = ctx.default_scale
+        v = np.zeros(ctx.slots, dtype=np.complex128)
+        flat = np.asarray(values).reshape(-1)
+        v[: flat.shape[0]] = flat
+        coeffs = self.slots_to_coeffs(v) * scale
+        rns = self.coeffs_to_rns(coeffs, level)
+        rns_ntt = ctx.host.ntt(rns)
+        if not with_shoup:
+            return rns_ntt, float(scale)
+        shoup = np.empty_like(rns_ntt, dtype=np.uint32)
+        for i in range(level + 1):
+            p = np.uint64(ctx.primes[i])
+            shoup[i] = ((rns_ntt[i].astype(np.uint64) << np.uint64(32)) // p
+                        ).astype(np.uint32)
+        return rns_ntt, shoup, float(scale)
+
+    def decode(self, rns_ntt: np.ndarray, scale: float,
+               num_values: int | None = None) -> np.ndarray:
+        """RNS NTT plaintext -> real slot values."""
+        ctx = self.ctx
+        rns = ctx.host.intt(np.asarray(rns_ntt, dtype=np.int64))
+        coeffs = self.rns_to_coeffs(rns) / scale
+        vals = self.coeffs_to_slots(coeffs).real
+        if num_values is not None:
+            vals = vals[:num_values]
+        return vals
+
+    def scalar_residues(self, value: float, scale: float, level: int) -> np.ndarray:
+        """Residues of round(value*scale) mod q_0..q_level (constant poly)."""
+        c = int(round(value * scale))
+        return np.array([c % p for p in self.ctx.q_primes[: level + 1]],
+                        dtype=np.int64)

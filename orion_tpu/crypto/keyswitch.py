@@ -1,0 +1,242 @@
+"""Device-side hybrid key-switching, basis conversion, rescale (jnp/uint32).
+
+Reference parity: the key-switch/rescale internals Lattigo provides beneath
+`orion/backend/lattigo/evaluator.go` (MulRelin, Rotate, Rescale).  Algorithms
+are the standard RNS-CKKS set (full-RNS HPS fast basis conversion with a
+float32 correction term, hybrid gadget decomposition, ModDown by the special
+primes), arranged so that:
+
+  * every step is a pure jnp function of uint32 arrays -> the whole
+    encrypted network forward can be traced into one XLA program;
+  * the only cross-limb data movement is in basis conversion (a tiny
+    contraction over <= alpha source limbs) — NTTs and pointwise ops are
+    limb-local, which is what makes limb-sharding across a TPU mesh cheap
+    (see orion_tpu/parallel/).
+
+Float32 v-correction: the HPS correction term only needs to be within +-1 of
+round(sum z_m / q_m); an off-by-one adds a multiple of the digit modulus,
+which ModDown's division by P absorbs (standard approximate-FBC argument).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+from .context import CKKSContext, DigitTables, LevelKSTables
+from .modops import add_mod, shoup_mul, sub_mod
+from .ntt import intt, ntt
+
+
+@dataclass
+class DevDigit:
+    src_lo: int                   # first source limb index (within Q rows)
+    src_hi: int
+    qhat_inv: jnp.ndarray         # (alpha, 1)
+    qhat_inv_shoup: jnp.ndarray
+    conv: jnp.ndarray             # (alpha, n_t, 1)
+    conv_shoup: jnp.ndarray
+    d_mod_t: jnp.ndarray          # (n_t, 1)
+    d_mod_t_shoup: jnp.ndarray
+    src_q_f32: jnp.ndarray        # (alpha, 1) float32
+    src_p: jnp.ndarray            # (alpha, 1) uint32
+
+
+@dataclass
+class DevLevel:
+    """All device tables needed to run ops at one ciphertext level."""
+    level: int
+    # Q-limb tables (rows 0..level)
+    q_p: jnp.ndarray
+    q_pinv: jnp.ndarray
+    q_rmod: jnp.ndarray
+    q_rshoup: jnp.ndarray
+    q_tw: jnp.ndarray
+    q_tw_shoup: jnp.ndarray
+    q_itw: jnp.ndarray
+    q_itw_shoup: jnp.ndarray
+    q_ninv: jnp.ndarray
+    q_ninv_shoup: jnp.ndarray
+    # extended-basis tables (rows 0..level + specials)
+    t_p: jnp.ndarray
+    t_tw: jnp.ndarray
+    t_tw_shoup: jnp.ndarray
+    # special-prime tables
+    s_p: jnp.ndarray
+    s_itw: jnp.ndarray
+    s_itw_shoup: jnp.ndarray
+    s_ninv: jnp.ndarray
+    s_ninv_shoup: jnp.ndarray
+    # digits + moddown + rescale constants
+    digits: list[DevDigit]
+    moddown: DevDigit
+    pinv_mod_q: jnp.ndarray        # (l+1, 1)
+    pinv_mod_q_shoup: jnp.ndarray
+    one_shoup_q: jnp.ndarray       # (l+1, 1) floor(2^32/q_i) for barrett-reduce
+    qlast_mod_t: jnp.ndarray       # (l, 1)
+    qlast_inv: jnp.ndarray
+    qlast_inv_shoup: jnp.ndarray
+    qlast_half: jnp.ndarray        # scalar uint32 (q_l+1)//2
+    ksk_rows: list[int]            # global prime rows used by this level
+
+
+def _dev_digit(dt: DigitTables, ctx: CKKSContext) -> DevDigit:
+    src_p = np.array([ctx.primes[i] for i in dt.src_idx], np.uint32)
+    return DevDigit(
+        src_lo=dt.src_idx[0] if dt.src_idx[0] < ctx.n_q else 0,
+        src_hi=(dt.src_idx[-1] + 1) if dt.src_idx[0] < ctx.n_q else 0,
+        qhat_inv=jnp.asarray(dt.qhat_inv[:, None]),
+        qhat_inv_shoup=jnp.asarray(dt.qhat_inv_shoup[:, None]),
+        conv=jnp.asarray(dt.conv[:, :, None]),
+        conv_shoup=jnp.asarray(dt.conv_shoup[:, :, None]),
+        d_mod_t=jnp.asarray(dt.d_mod_t[:, None]),
+        d_mod_t_shoup=jnp.asarray(dt.d_mod_t_shoup[:, None]),
+        src_q_f32=jnp.asarray(dt.src_q[:, None]),
+        src_p=jnp.asarray(src_p[:, None]),
+    )
+
+
+def dev_level(ctx: CKKSContext, level: int) -> DevLevel:
+    cache = getattr(ctx, "_dev_levels", None)
+    if cache is None:
+        cache = ctx._dev_levels = {}
+    if level in cache:
+        return cache[level]
+
+    d = ctx.dev
+    lt: LevelKSTables = ctx.ks_tables[level]
+    nq_rows = list(range(level + 1))
+    sp_rows = list(range(ctx.n_q, ctx.n_all))
+    t_rows = nq_rows + sp_rows
+
+    def rows(arr, r):
+        return arr[jnp.asarray(np.array(r, np.int32))]
+
+    one_shoup = np.array(
+        [(1 << 32) // ctx.primes[i] for i in nq_rows], np.uint32)
+
+    out = DevLevel(
+        level=level,
+        q_p=rows(d["p"], nq_rows),
+        q_pinv=rows(d["pinv"], nq_rows),
+        q_rmod=rows(d["r_mod"], nq_rows),
+        q_rshoup=rows(d["r_shoup"], nq_rows),
+        q_tw=rows(d["tw"], nq_rows),
+        q_tw_shoup=rows(d["tw_shoup"], nq_rows),
+        q_itw=rows(d["itw"], nq_rows), q_itw_shoup=rows(d["itw_shoup"], nq_rows),
+        q_ninv=rows(d["ninv"], nq_rows), q_ninv_shoup=rows(d["ninv_shoup"], nq_rows),
+        t_p=rows(d["p"], t_rows), t_tw=rows(d["tw"], t_rows),
+        t_tw_shoup=rows(d["tw_shoup"], t_rows),
+        s_p=rows(d["p"], sp_rows), s_itw=rows(d["itw"], sp_rows),
+        s_itw_shoup=rows(d["itw_shoup"], sp_rows),
+        s_ninv=rows(d["ninv"], sp_rows), s_ninv_shoup=rows(d["ninv_shoup"], sp_rows),
+        digits=[_dev_digit(dt, ctx) for dt in lt.digits],
+        moddown=_dev_digit(lt.moddown, ctx),
+        pinv_mod_q=jnp.asarray(lt.pinv_mod_q[:, None]),
+        pinv_mod_q_shoup=jnp.asarray(lt.pinv_mod_q_shoup[:, None]),
+        one_shoup_q=jnp.asarray(one_shoup[:, None]),
+        qlast_mod_t=jnp.asarray(lt.qlast_mod_t[:, None]),
+        qlast_inv=jnp.asarray(lt.qlast_inv[:, None]),
+        qlast_inv_shoup=jnp.asarray(lt.qlast_inv_shoup[:, None]),
+        qlast_half=jnp.uint32((ctx.primes[level] + 1) // 2),
+        ksk_rows=t_rows,
+    )
+    cache[level] = out
+    return out
+
+
+# ------------------------------------------------------------------ #
+#  Fast basis conversion                                             #
+# ------------------------------------------------------------------ #
+
+def fbc(z, dg: DevDigit, tgt_p):
+    """Convert coeff-domain residues z (alpha, ..., N) in the digit's base to
+    the target base (n_t, ..., N).  Approximate HPS with f32 v-correction."""
+    zq = shoup_mul(z, dg.qhat_inv, dg.qhat_inv_shoup, dg.src_p)
+    frac = jnp.sum(zq.astype(jnp.float32) / dg.src_q_f32, axis=0)
+    v = jnp.round(frac).astype(jnp.uint32)  # in [0, alpha]
+    alpha = zq.shape[0]
+    acc = None
+    for m in range(alpha):
+        term = shoup_mul(zq[m][None], dg.conv[m], dg.conv_shoup[m], tgt_p)
+        acc = term if acc is None else add_mod(acc, term, tgt_p)
+    vterm = shoup_mul(v[None], dg.d_mod_t, dg.d_mod_t_shoup, tgt_p)
+    return sub_mod(acc, vterm, tgt_p)
+
+
+# ------------------------------------------------------------------ #
+#  Key switching                                                     #
+# ------------------------------------------------------------------ #
+
+def keyswitch(c_ntt, dl: DevLevel, ksk_data, ksk_shoup):
+    """Switch poly c (level+1, N, NTT domain) with a hybrid KSK.
+
+    ksk arrays: (dnum_full, 2, n_all, N); rows dl.ksk_rows are used.
+    Returns (2, level+1, N) in NTT domain (already ModDown'ed by P).
+    """
+    lvl = dl.level
+    c_coeff = intt(c_ntt, dl.q_itw, dl.q_itw_shoup,
+                   dl.q_ninv, dl.q_ninv_shoup, dl.q_p)
+    rows = jnp.asarray(np.array(dl.ksk_rows, np.int32))
+    acc0 = acc1 = None
+    for j, dg in enumerate(dl.digits):
+        z = c_coeff[dg.src_lo:dg.src_hi]
+        ext = fbc(z, dg, dl.t_p[:, None])
+        ext_ntt = ntt(ext, dl.t_tw, dl.t_tw_shoup, dl.t_p)
+        k0 = ksk_data[j, 0][rows]
+        k1 = ksk_data[j, 1][rows]
+        k0s = ksk_shoup[j, 0][rows]
+        k1s = ksk_shoup[j, 1][rows]
+        t0 = shoup_mul(ext_ntt, k0, k0s, dl.t_p[:, None])
+        t1 = shoup_mul(ext_ntt, k1, k1s, dl.t_p[:, None])
+        if acc0 is None:
+            acc0, acc1 = t0, t1
+        else:
+            acc0 = add_mod(acc0, t0, dl.t_p[:, None])
+            acc1 = add_mod(acc1, t1, dl.t_p[:, None])
+    out0 = mod_down(acc0, dl)
+    out1 = mod_down(acc1, dl)
+    return jnp.stack([out0, out1])
+
+
+def mod_down(x, dl: DevLevel):
+    """Divide an extended-basis poly (n_q_rows + n_p, N, NTT) by P -> Q base."""
+    lvl = dl.level
+    qpart = x[: lvl + 1]
+    ppart = x[lvl + 1:]
+    pp_coeff = intt(ppart, dl.s_itw, dl.s_itw_shoup,
+                    dl.s_ninv, dl.s_ninv_shoup, dl.s_p)
+    lift = fbc(pp_coeff, dl.moddown, dl.q_p[:, None])
+    lift_ntt = ntt(lift, dl.q_tw, dl.q_tw_shoup, dl.q_p)
+    diff = sub_mod(qpart, lift_ntt, dl.q_p[:, None])
+    return shoup_mul(diff, dl.pinv_mod_q, dl.pinv_mod_q_shoup, dl.q_p[:, None])
+
+
+# ------------------------------------------------------------------ #
+#  Rescale                                                           #
+# ------------------------------------------------------------------ #
+
+def rescale_poly(c, dl: DevLevel):
+    """Drop the last limb of c (..., level+1, N, NTT) with centered rounding.
+
+    Returns (..., level, N).  Caller adjusts level/scale metadata.
+    """
+    lvl = dl.level
+    last_ntt = c[..., lvl: lvl + 1, :]
+    # single-limb iNTT using the last Q row's tables
+    last = intt(last_ntt, dl.q_itw[lvl:], dl.q_itw_shoup[lvl:],
+                dl.q_ninv[lvl:], dl.q_ninv_shoup[lvl:],
+                dl.q_p[lvl:])[..., 0, :]
+    # centered lift of `last` into each remaining modulus
+    red = shoup_mul(last[..., None, :], jnp.uint32(1),
+                    dl.one_shoup_q[:lvl], dl.q_p[: lvl, None])
+    v = (last >= dl.qlast_half)[..., None, :]
+    y = sub_mod(red, jnp.where(v, dl.qlast_mod_t, jnp.uint32(0)),
+                dl.q_p[: lvl, None])
+    y_ntt = ntt(y, dl.q_tw[:lvl], dl.q_tw_shoup[:lvl], dl.q_p[:lvl])
+    diff = sub_mod(c[..., :lvl, :], y_ntt, dl.q_p[: lvl, None])
+    return shoup_mul(diff, dl.qlast_inv, dl.qlast_inv_shoup,
+                     dl.q_p[: lvl, None])

@@ -1,0 +1,150 @@
+"""Host-side exact RNS ring arithmetic (numpy int64).
+
+Two roles:
+  1. Oracle for unit tests of the TPU kernels (`tests/crypto/*` check the
+     jax/Pallas paths bit-exactly against these).
+  2. Host execution of client-side crypto that never touches the TPU:
+     key generation, encryption and decryption (reference parity:
+     `orion/backend/lattigo/{keygenerator,encryptor}.go`).
+
+Primes are < 2^31 so products of residues fit in int64; everything here is
+exact.  Layout conventions (shared with the device path):
+  * A polynomial in RNS form is `int64[L, N]` (L limbs, N coefficients),
+    residues in [0, p).
+  * "NTT domain" means the merged negacyclic NTT (psi-twisted, Cooley-Tukey
+    decimation-in-time with bit-reversed twiddle table).  Outputs are in
+    bit-reversed evaluation order; position j holds the evaluation at
+    psi^(2*bitrev(j)+1).  All pointwise ops and key material use this order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bit_reverse_indices(n: int) -> np.ndarray:
+    logn = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+class PrimeRing:
+    """Negacyclic NTT tables for one prime (host, exact)."""
+
+    def __init__(self, p: int, n: int, psi: int):
+        self.p = p
+        self.n = n
+        self.logn = n.bit_length() - 1
+        self.psi = psi
+        rev = bit_reverse_indices(n)
+        pows = np.zeros(n, dtype=np.int64)
+        ipows = np.zeros(n, dtype=np.int64)
+        psi_inv = pow(psi, p - 2, p)
+        acc, iacc = 1, 1
+        tmp = np.zeros(n, dtype=object)
+        itmp = np.zeros(n, dtype=object)
+        for i in range(n):
+            tmp[i] = acc
+            itmp[i] = iacc
+            acc = acc * psi % p
+            iacc = iacc * psi_inv % p
+        # twiddles in bit-reversed order: tw[j] = psi^bitrev(j)
+        pows[:] = tmp[rev].astype(np.int64)
+        ipows[:] = itmp[rev].astype(np.int64)
+        self.tw = pows
+        self.itw = ipows
+        self.ninv = pow(n, p - 2, p)
+
+    def ntt(self, a: np.ndarray) -> np.ndarray:
+        """Forward negacyclic NTT, standard-order input -> bit-rev order output."""
+        p, n = self.p, self.n
+        a = a.astype(np.int64).copy()
+        t = n
+        m = 1
+        while m < n:
+            t //= 2
+            # view as (m, 2, t): butterfly between the two halves of each group
+            v = a.reshape(m, 2, t)
+            s = self.tw[m : 2 * m].reshape(m, 1)
+            odd = v[:, 1, :] * s % p
+            even = v[:, 0, :]
+            a = np.concatenate(
+                [((even + odd) % p)[:, None, :], ((even - odd) % p)[:, None, :]],
+                axis=1,
+            ).reshape(-1)
+            m *= 2
+        return a
+
+    def intt(self, a: np.ndarray) -> np.ndarray:
+        """Inverse NTT, bit-rev order input -> standard-order output."""
+        p, n = self.p, self.n
+        a = a.astype(np.int64).copy()
+        t = 1
+        m = n
+        while m > 1:
+            m //= 2
+            v = a.reshape(m, 2, t)
+            s = self.itw[m : 2 * m].reshape(m, 1)
+            u = v[:, 0, :]
+            w = v[:, 1, :]
+            a = np.concatenate(
+                [((u + w) % p)[:, None, :], ((u - w) * s % p)[:, None, :]],
+                axis=1,
+            ).reshape(-1)
+            t *= 2
+        return a * self.ninv % p
+
+    def poly_mul(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Negacyclic product of two coefficient-domain polys."""
+        return self.intt(self.ntt(a) * self.ntt(b) % self.p)
+
+    def negacyclic_naive(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """O(n^2) schoolbook negacyclic multiply (oracle for the oracle)."""
+        p, n = self.p, self.n
+        out = np.zeros(n, dtype=object)
+        aa = a.astype(object)
+        bb = b.astype(object)
+        for i in range(n):
+            shifted = np.concatenate([-aa[n - i :], aa[: n - i]]) if i else aa
+            out = (out + shifted * bb[i]) % p
+        return out.astype(np.int64)
+
+
+def automorphism_coeff(a: np.ndarray, k: int, n: int, p: int) -> np.ndarray:
+    """Apply tau_k: X -> X^k to a coefficient-domain poly mod (X^N + 1)."""
+    out = np.zeros_like(a)
+    idx = (np.arange(n, dtype=np.int64) * k) % (2 * n)
+    hi = idx >= n
+    pos = np.where(hi, idx - n, idx)
+    vals = np.where(hi, (p - a) % p, a)
+    out[pos] = vals
+    return out
+
+
+class HostRing:
+    """All-prime host ring: vectorised NTT over the limb dimension."""
+
+    def __init__(self, primes: list[int], n: int, psis: list[int]):
+        self.primes = list(primes)
+        self.n = n
+        self.rings = [PrimeRing(p, n, psi) for p, psi in zip(primes, psis)]
+
+    def ntt(self, a: np.ndarray) -> np.ndarray:
+        return np.stack([r.ntt(a[i]) for i, r in enumerate(self._sel(a))])
+
+    def intt(self, a: np.ndarray) -> np.ndarray:
+        return np.stack([r.intt(a[i]) for i, r in enumerate(self._sel(a))])
+
+    def _sel(self, a: np.ndarray):
+        assert a.ndim == 2 and a.shape[1] == self.n, a.shape
+        return self.rings[: a.shape[0]]
+
+    def reduce(self, coeffs: np.ndarray, num_limbs: int) -> np.ndarray:
+        """Signed integer coefficients (object or int64) -> RNS residues."""
+        out = np.zeros((num_limbs, self.n), dtype=np.int64)
+        for i in range(num_limbs):
+            out[i] = np.asarray(coeffs % self.rings[i].p, dtype=np.int64)
+        return out
