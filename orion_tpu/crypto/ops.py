@@ -160,6 +160,40 @@ class Evaluator:
         out = Ciphertext(data, level, ct.scale * ql)
         return self.rescale(out)
 
+    def mul_scalar_at(self, ct: Ciphertext, scalar: float, enc_scale: float,
+                      rescale: bool = True) -> Ciphertext:
+        """Multiply by a scalar encoded at an explicit scale (polyeval's
+        per-term scale targeting).  Result scale = ct.scale*enc_scale [/q_l]."""
+        level = ct.level
+        c = int(round(scalar * enc_scale))
+        res = self.ctx.q_primes[: level + 1]
+        vals = np.array([c % p for p in res], dtype=np.uint32)
+        shoup = np.array(
+            [((int(v) << 32) // p) for v, p in zip(vals, res)], dtype=np.uint32)
+        qp = self._qp(level)
+        data = shoup_mul(ct.data, jnp.asarray(vals)[:, None],
+                         jnp.asarray(shoup)[:, None], qp)
+        out = Ciphertext(data, level, ct.scale * enc_scale)
+        return self.rescale(out) if rescale else out
+
+    def set_scale(self, ct: Ciphertext, scale: float) -> Ciphertext:
+        """Metadata-only scale override (reference Quad `out.set_scale`)."""
+        return ct.with_(scale=float(scale))
+
+    def adjust_scale(self, ct: Ciphertext, target_scale: float) -> Ciphertext:
+        """Bring ct to ~target_scale exactly-trackably; consumes one level.
+
+        Multiplies by the integer k = round(target*q_l/scale) and rescales,
+        so the declared output scale (scale*k/q_l) is the TRUE scale; the
+        residual mismatch vs target is <= 2^-26 relative (below noise).
+        """
+        level = ct.level
+        ql = self.ctx.q_primes[level]
+        k = max(1, round(target_scale * ql / ct.scale))
+        out = self.mul_scalar_int(ct, k)
+        out = out.with_(scale=ct.scale * k)
+        return self.rescale(out)
+
     def mul_scalar(self, ct: Ciphertext, scalar) -> Ciphertext:
         if isinstance(scalar, float) and float(scalar).is_integer():
             scalar = int(scalar)

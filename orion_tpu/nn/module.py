@@ -1,0 +1,197 @@
+"""Torch-free module system for encrypted networks.
+
+Reference parity: `orion/nn/module.py` (Module with scheme/margin class
+attrs, level/depth/fused/he_mode instance attrs, train/eval/he mode
+switches, @timer debug tracer).  The reference subclasses torch.nn.Module;
+here modules are plain Python objects whose cleartext math is jax/numpy —
+torch exists in this stack only as an optional weight-import path.
+
+Submodules and parameters register automatically via __setattr__ (the
+familiar ergonomics), and `named_modules()` drives the tracer/compiler.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+
+class Parameter:
+    """A mutable named array (numpy float32) — cleartext weights."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data):
+        self.data = np.asarray(data, dtype=np.float32)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+
+class Module(ABC):
+    scheme = None
+    margin = None
+
+    def __init__(self):
+        object.__setattr__(self, "_modules", {})
+        object.__setattr__(self, "_params", {})
+        self.level = None
+        self.depth = None
+        self.fused = False
+        self.he_mode = False
+        self.training = True
+        self.name = None
+
+    # ----------------- registration ----------------- #
+
+    def __setattr__(self, key, value):
+        if isinstance(value, Module):
+            self._modules[key] = value
+        elif isinstance(value, Parameter):
+            self._params[key] = value
+        object.__setattr__(self, key, value)
+
+    def children(self):
+        return list(self._modules.values())
+
+    def modules(self):
+        """All modules in the tree, self first (reference .modules())."""
+        out = [self]
+        for m in self._modules.values():
+            out.extend(m.modules())
+        return out
+
+    def named_modules(self, prefix: str = ""):
+        yield prefix, self
+        for name, m in self._modules.items():
+            sub = f"{prefix}.{name}" if prefix else name
+            yield from m.named_modules(sub)
+
+    def is_leaf(self) -> bool:
+        if isinstance(self, (Sequential, ModuleList)):
+            return False
+        return not self._modules
+
+    # ----------------- scheme / modes ----------------- #
+
+    @staticmethod
+    def set_scheme(scheme):
+        Module.scheme = scheme
+
+    @staticmethod
+    def set_margin(margin):
+        Module.margin = margin
+
+    def _set_mode_for_all(self, he_mode=False, training=True):
+        for m in self.modules():
+            m.training = training
+            m.he_mode = he_mode
+
+    def train(self, mode=True):
+        self._set_mode_for_all(he_mode=False, training=mode)
+
+    def eval(self):
+        self._set_mode_for_all(he_mode=False, training=False)
+
+    def he(self):
+        self._set_mode_for_all(he_mode=True, training=False)
+
+    def set_depth(self, depth):
+        self.depth = depth
+
+    def set_level(self, level):
+        self.level = level
+
+    # ----------------- call / trace ----------------- #
+
+    def __call__(self, *args):
+        from ..compiler.tracer import active_tracer
+        tr = active_tracer()
+        if tr is not None and self.is_leaf():
+            return tr.run_leaf(self, args)
+        return self.forward(*args)
+
+    @abstractmethod
+    def forward(self, *x):
+        raise NotImplementedError
+
+    def __repr__(self):
+        inner = ", ".join(f"{k}" for k in self._modules)
+        return f"{type(self).__name__}(level={self.level}{', ' + inner if inner else ''})"
+
+
+class Sequential(Module):
+    """Container executing submodules in order (reference nn.Sequential)."""
+
+    def __init__(self, *mods):
+        super().__init__()
+        for i, m in enumerate(mods):
+            setattr(self, str(i), m)
+
+    def __iter__(self):
+        return iter(self._modules.values())
+
+    def __len__(self):
+        return len(self._modules)
+
+    def __getitem__(self, idx):
+        return list(self._modules.values())[idx]
+
+    def forward(self, x):
+        for m in self._modules.values():
+            x = m(x)
+        return x
+
+
+class ModuleList(Module):
+    def __init__(self, mods=()):
+        super().__init__()
+        for i, m in enumerate(mods):
+            setattr(self, str(i), m)
+
+    def __iter__(self):
+        return iter(self._modules.values())
+
+    def __len__(self):
+        return len(self._modules)
+
+    def __getitem__(self, idx):
+        return list(self._modules.values())[idx]
+
+    def append(self, m):
+        setattr(self, str(len(self._modules)), m)
+
+    def forward(self, *x):
+        raise RuntimeError("ModuleList is not callable")
+
+
+def timer(func):
+    """Debug tracer: per-layer wall time + clear-vs-FHE ranges
+    (reference `orion/nn/module.py:67-104`)."""
+
+    @functools.wraps(func)
+    def wrapper(self, *args, **kwargs):
+        if not self.he_mode or self.scheme is None:
+            return func(self, *args, **kwargs)
+        debug = self.scheme.params.debug
+        if debug:
+            name = self.name or type(self).__name__
+            print(f"\n{name}:")
+            if hasattr(self, "input_min"):
+                print(f"Clear input min/max: {self.input_min:.3f} / "
+                      f"{self.input_max:.3f}")
+            start = time.time()
+        result = func(self, *args, **kwargs)
+        if debug:
+            omin = getattr(self, "output_min", getattr(self, "input_min", 0.0))
+            omax = getattr(self, "output_max", getattr(self, "input_max", 0.0))
+            elapsed = time.time() - start
+            print(f"Clear output min/max: {omin:.3f} / {omax:.3f}")
+            print(f"done! [{elapsed:.3f} secs.]")
+        return result
+
+    return wrapper
