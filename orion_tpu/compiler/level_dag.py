@@ -1,0 +1,299 @@
+"""Level assignment + automatic bootstrap placement.
+
+Reference parity: `orion/core/level_dag.py` + `orion/core/auto_bootstrap.py`
+(the Orion paper's level-DAG shortest path, arXiv:2311.03470 §5.2).
+
+Re-design: instead of building one networkx graph per residual subgraph and
+composing with pairwise shortest paths, the network is decomposed into a
+series-parallel structure and solved with (min,+) transition matrices over
+levels: each unit (layer or residual block) yields a cost matrix
+U[l_in, l_out]; chains compose by (min,+) product; parallel branches of a
+residual sum elementwise (both branches are evaluated, and they must meet
+at the join at a common level).  This is equivalent to the reference's
+LevelDAG composition (`__add__`/`append`) but handles arbitrary nesting
+uniformly.
+
+Latency model (node weights): linear transforms cost
+alpha * n_diags * level (`level_dag.py:190-194`); a bootstrap after a layer
+costs t_boot(l_eff) * n_cts (`level_dag.py:213-249`).  The constants are the
+reference's CPU-fit values for now — re-fitting them to TPU microbenchmarks
+is tracked for the bench rounds (the placement is only sensitive to the
+ratio, which stays heavily bootstrap-dominated on any hardware).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..nn.linear import LinearTransform
+from ..nn.operations import Add, Bootstrap
+
+INF = float("inf")
+
+LT_ALPHA = 0.001
+BOOT_A, BOOT_B, BOOT_C = 3.41, 0.18, 4.81
+
+
+def boot_latency(l_eff: int, num_cts: int) -> float:
+    return (BOOT_A * math.exp(BOOT_B * l_eff) + BOOT_C) * num_cts
+
+
+@dataclass
+class Unit:
+    """A single layer in the series decomposition."""
+    name: str
+    module: object
+    num_cts: int  # ciphertexts in the layer's output tensor
+
+
+@dataclass
+class Block:
+    """A residual block: fork's output feeds each branch; branches meet at
+    the join (an Add-like unit handled as the following chain element)."""
+    branches: list  # list of chains; chain = list[Unit | Block]
+
+
+class BootstrapSolver:
+    """Assigns every module its input level and decides bootstrap points."""
+
+    def __init__(self, net, dag, l_eff: int, slots: int, base_level: int = 0):
+        self.net = net
+        self.dag = dag
+        self.l_eff = l_eff
+        self.slots = slots
+        self.base = base_level      # floor: composite q0 occupies extra limbs
+        self.n_levels = l_eff + 1   # usable levels: base..base+l_eff
+        # decision record: (unit_name, l_in) -> (l_out, bootstrapped)
+        self._choices: dict = {}
+        self.bootstraps: list[tuple[str, int]] = []  # (after_node, level_in)
+
+    # ---------------- decomposition ---------------- #
+
+    def decompose(self) -> list:
+        """DAG -> series-parallel chain of Units/Blocks."""
+        order = list(self.dag.topological_sort())
+        return self._chain(order[0] if order else None, None)
+
+    def _num_cts(self, name) -> int:
+        stats = self.dag.nodes[name]["stats"]
+        shape = stats.fhe_output_shape or stats.output_shape
+        numel = int(np.prod(shape))
+        return max(1, math.ceil(numel / self.slots))
+
+    def _chain(self, start, stop) -> list:
+        """Chain of units from `start` until `stop` (exclusive)."""
+        chain = []
+        node = start
+        while node is not None and node != stop:
+            succs = list(self.dag.successors(node))
+            if self.dag.out_degree(node) > 1:
+                join = self._join_of(node)
+                chain.append(Unit(node, self.dag.nodes[node]["module"],
+                                  self._num_cts(node)))
+                branches = []
+                for s in succs:
+                    if s == join:
+                        branches.append([])  # identity shortcut
+                    else:
+                        branches.append(self._chain(s, join))
+                chain.append(Block(branches))
+                node = join
+            else:
+                chain.append(Unit(node, self.dag.nodes[node]["module"],
+                                  self._num_cts(node)))
+                node = succs[0] if succs else None
+        return chain
+
+    def _join_of(self, fork):
+        for f, j in self.dag.residuals:
+            if f == fork:
+                return j
+        raise ValueError(f"fork {fork} has no recorded join")
+
+    # ---------------- cost matrices ---------------- #
+
+    def _levels(self):
+        return range(self.base, self.base + self.n_levels)
+
+    def _layer_latency(self, unit: Unit, level: int) -> float:
+        m = unit.module
+        depth = m.depth or 0
+        rel = level - self.base
+        if rel < depth:
+            return INF
+        if m.level is not None and m.level != level:
+            return INF  # user-pinned level
+        if isinstance(m, LinearTransform):
+            ndiags = sum(len(d) for d in m.diagonals.values()) or 1
+            return LT_ALPHA * ndiags * rel
+        return 1e-4 * rel
+
+    def _unit_matrix(self, unit: Unit) -> np.ndarray:
+        """U[l_in - base, l_out - base]: cost of running the unit with input
+        at l_in and delivering its output at l_out (after optional free
+        mod-drop and/or one bootstrap back to the top level)."""
+        n = self.n_levels
+        U = np.full((n, n), INF)
+        depth = unit.module.depth or 0
+        top = self.base + self.l_eff
+        for li in self._levels():
+            w = self._layer_latency(unit, li)
+            if not math.isfinite(w):
+                continue
+            lo_nat = li - depth
+            if lo_nat < self.base:
+                continue
+            for lo in range(self.base, lo_nat + 1):
+                U[li - self.base, lo - self.base] = w  # free mod-drop
+            # bootstrap after the unit: refresh to the top level
+            bw = w + boot_latency(self.l_eff, unit.num_cts)
+            if bw < U[li - self.base, top - self.base]:
+                U[li - self.base, top - self.base] = bw
+        return U
+
+    def _chain_matrix(self, chain: list) -> np.ndarray:
+        n = self.n_levels
+        M = np.full((n, n), INF)
+        np.fill_diagonal(M, 0.0)
+        # identity also allows free mod-drops between units
+        for i in range(n):
+            for j in range(i + 1):
+                M[i, j] = 0.0
+        for item in chain:
+            U = (self._unit_matrix(item) if isinstance(item, Unit)
+                 else self._block_matrix(item))
+            M = _minplus(M, U)
+        return M
+
+    def _block_matrix(self, block: Block) -> np.ndarray:
+        mats = [self._chain_matrix(b) for b in block.branches]
+        out = mats[0]
+        for m in mats[1:]:
+            out = out + m  # both branches run; costs add elementwise
+        return out
+
+    # ---------------- solve ---------------- #
+
+    def solve(self):
+        self.dag.find_residuals()
+        chain = self.decompose()
+        self._assignments = {}
+        best_cost, best_levels = self._assign_chain(chain, None)
+        input_level = best_levels
+        # walk again to materialise choices
+        num_bootstraps, slots_needed = self._collect()
+        return input_level, num_bootstraps, slots_needed
+
+    def _assign_chain(self, chain, fixed_in):
+        """Pick levels greedily-optimally: evaluate the chain matrix, choose
+        the input level minimising total cost, then backtrack through each
+        unit choosing the argmin transition."""
+        M = self._chain_matrix(chain)
+        n = self.n_levels
+        if fixed_in is None:
+            total = np.min(M, axis=1)
+            li = int(np.argmin(total)) + self.base
+        else:
+            li = fixed_in
+        self._backtrack_chain(chain, li)
+        return float(np.min(M[li - self.base])), li
+
+    def _backtrack_chain(self, chain, li):
+        """Assign levels through the chain starting with input level li."""
+        cur = li
+        for idx, item in enumerate(chain):
+            rest = chain[idx + 1:]
+            R = self._chain_matrix(rest) if rest else None
+            U = (self._unit_matrix(item) if isinstance(item, Unit)
+                 else self._block_matrix(item))
+            row = U[cur - self.base]
+            if R is not None:
+                candidates = row + np.min(R, axis=1)
+            else:
+                candidates = row
+            lo = int(np.argmin(candidates)) + self.base
+            if isinstance(item, Unit):
+                self._record_unit(item, cur, lo)
+            else:
+                for b in item.branches:
+                    self._backtrack_chain_fixed(b, cur, lo)
+            cur = lo
+
+    def _backtrack_chain_fixed(self, chain, li, lo_final):
+        """Backtrack a residual branch whose output level is pinned."""
+        if not chain:
+            return
+        cur = li
+        for idx, item in enumerate(chain):
+            rest = chain[idx + 1:]
+            U = (self._unit_matrix(item) if isinstance(item, Unit)
+                 else self._block_matrix(item))
+            if rest:
+                R = self._chain_matrix(rest)
+                candidates = U[cur - self.base] + R[:, lo_final - self.base]
+            else:
+                candidates = np.full(self.n_levels, INF)
+                candidates[lo_final - self.base] = \
+                    U[cur - self.base, lo_final - self.base]
+            lo = int(np.argmin(candidates)) + self.base
+            if isinstance(item, Unit):
+                self._record_unit(item, cur, lo)
+            else:
+                for b in item.branches:
+                    self._backtrack_chain_fixed(b, cur, lo)
+            cur = lo
+
+    def _record_unit(self, unit: Unit, li: int, lo: int):
+        m = unit.module
+        depth = m.depth or 0
+        m.set_level(li)
+        natural = li - depth
+        top = self.base + self.l_eff
+        if lo == top and natural != top:
+            # the transition used a bootstrap edge
+            self.bootstraps.append((unit.name, natural))
+        self._assignments[unit.name] = (li, lo)
+
+    def _collect(self):
+        slots_needed = set()
+        for name, lvl in self.bootstraps:
+            stats = self.dag.nodes[name]["stats"]
+            shape = stats.fhe_output_shape or stats.output_shape
+            numel = int(np.prod(shape[1:])) if len(shape) > 1 else int(
+                np.prod(shape))
+            slots_needed.add(2 ** math.ceil(math.log2(max(numel, 1))))
+        return len(self.bootstraps), sorted(slots_needed)
+
+
+def _minplus(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(min,+) matrix product."""
+    n = A.shape[0]
+    out = np.full_like(A, INF)
+    for k in range(n):
+        cand = A[:, k][:, None] + B[k][None, :]
+        out = np.minimum(out, cand)
+    return out
+
+
+class BootstrapPlacer:
+    """Attach Bootstrap modules after the flagged layers
+    (reference `auto_bootstrap.py:279-310`)."""
+
+    def __init__(self, net, dag, solver: BootstrapSolver):
+        self.net = net
+        self.dag = dag
+        self.solver = solver
+
+    def place_bootstraps(self):
+        for name, level_in in self.solver.bootstraps:
+            module = self.dag.nodes[name]["module"]
+            stats = self.dag.nodes[name]["stats"]
+            btp = Bootstrap(stats.output_min, stats.output_max, level_in)
+            btp.fhe_input_shape = stats.fhe_output_shape
+            btp.input_min = stats.output_min
+            btp.input_max = stats.output_max
+            btp.fit()
+            module.post_bootstrap = btp

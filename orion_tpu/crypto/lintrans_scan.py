@@ -1,0 +1,244 @@
+"""Scan-based BSGS linear transforms: compact XLA programs.
+
+The naive BSGS loop (lintrans.py) inlines one key-switch per rotation into
+the traced program; a ResNet-scale circuit would be millions of HLO ops
+(SURVEY hard part #4).  Here the rotation loop is a `lax.scan` whose body
+contains ONE key-switch; per-step inputs (automorphism permutation, stacked
+rotation keys, encoded diagonals) are scanned arrays, so the program size
+is O(one keyswitch) regardless of the rotation count.
+
+Structure per transform (diag idx = g*n1 + b):
+  1. baby scan   : rot_b(ct) for every needed b      (keyswitch per step)
+  2. diag scan   : acc[g] += pt_d * rot[b_pos(d)]    (pure VPU)
+  3. giant scan  : out += rot_{g*n1}(acc[g])         (keyswitch per step)
+
+Rotation keys for a set of amounts are stacked once and cached per unique
+amount-tuple (KeyPack) — fc-layers sharing a BSGS shape share key memory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ciphertext import Ciphertext, Plaintext
+from .keyswitch import dev_level, keyswitch
+from .modops import add_mod, shoup_mul
+from .ops import Evaluator
+
+
+@dataclass
+class KeyPack:
+    """Stacked galois keys + NTT-domain permutations for rotation amounts."""
+    amounts: tuple
+    perms: jnp.ndarray       # (n, N) int32
+    ksk: jnp.ndarray         # (n, dnum, 2, n_all, N) uint32
+    ksk_shoup: jnp.ndarray
+
+
+def build_key_pack(ev: Evaluator, amounts) -> KeyPack:
+    """Stack keys for the given rotation amounts (cached on the evaluator)."""
+    amounts = tuple(sorted(set(int(a) % ev.ctx.slots for a in amounts)
+                           - {0}))
+    cache = getattr(ev, "_key_packs", None)
+    if cache is None:
+        cache = ev._key_packs = {}
+    if amounts in cache:
+        return cache[amounts]
+    perms, ks, kss = [], [], []
+    for a in amounts:
+        k = ev.ctx.galois_element(a)
+        gk = ev.keys.galois_key(k)
+        perms.append(ev.ctx.automorphism_perm(k))
+        ks.append(gk.data)
+        kss.append(gk.shoup)
+    pack = KeyPack(
+        amounts=amounts,
+        perms=jnp.asarray(np.stack(perms)),
+        ksk=jnp.stack(ks),
+        ksk_shoup=jnp.stack(kss),
+    )
+    cache[amounts] = pack
+    return pack
+
+
+def rotate_scan(ev: Evaluator, ct: Ciphertext, pack: KeyPack):
+    """All rotations of ct for the pack's amounts via one scanned keyswitch.
+
+    Returns uint32 (n_amounts, 2, L, N); amounts follow pack.amounts order.
+    """
+    if not pack.amounts:
+        return jnp.zeros((0,) + ct.data.shape, jnp.uint32)
+    dl = dev_level(ev.ctx, ct.level)
+    qp = dl.q_p[:, None]
+
+    def body(_, inp):
+        perm, kd, kds = inp
+        cperm = ct.data[..., perm]
+        ks = keyswitch(cperm[1], dl, kd, kds)
+        rot = jnp.stack([add_mod(cperm[0], ks[0], qp), ks[1]])
+        return None, rot
+
+    _, rots = jax.lax.scan(body, None,
+                           (pack.perms, pack.ksk, pack.ksk_shoup))
+    return rots
+
+
+@dataclass
+class ScanTransform:
+    """One compiled (slots x slots) block in scan form."""
+    level: int
+    n1: int
+    pts: jnp.ndarray         # (n_d, L+1, N) uint32, pre-rotated by -g*n1
+    pts_shoup: jnp.ndarray
+    b_pos: jnp.ndarray       # (n_d,) int32: index into the baby-rot stack
+    g_pos: jnp.ndarray       # (n_d,) int32: index into the giant accumulator
+    babies_full: tuple       # distinct baby values in b_pos order (may incl 0)
+    babies: tuple            # baby rotation amounts needed (excluding 0)
+    giants: tuple            # giant rotation amounts per accumulator row
+    n_giants: int
+
+
+def compile_transform_scan(encoder, diagonals, level, slots,
+                           bsgs_ratio=2.0) -> ScanTransform:
+    from .lintrans import choose_n1
+    ql = float(encoder.ctx.q_primes[level])
+    n1 = choose_n1(len(diagonals), slots, bsgs_ratio)
+
+    entries = []
+    for idx, vec in diagonals.items():
+        g, b = divmod(int(idx) % slots, n1)
+        v = np.asarray(vec, dtype=np.float64)
+        if v.shape[0] != slots:
+            pad = np.zeros(slots)
+            pad[: v.shape[0]] = v
+            v = pad
+        entries.append((g, b, np.roll(v, g * n1)))
+
+    giants = sorted({g for g, _, _ in entries})
+    babies = sorted({b for _, b, _ in entries})
+    g_index = {g: i for i, g in enumerate(giants)}
+    b_index = {b: i for i, b in enumerate(babies)}
+
+    pts, pts_sh, b_pos, g_pos = [], [], [], []
+    for g, b, v in entries:
+        data, shoup, _ = encoder.encode(v, level=level, scale=ql,
+                                        with_shoup=True)
+        pts.append(data.astype(np.uint32))
+        pts_sh.append(shoup)
+        b_pos.append(b_index[b])
+        g_pos.append(g_index[g])
+
+    return ScanTransform(
+        level=level, n1=n1,
+        pts=jnp.asarray(np.stack(pts)),
+        pts_shoup=jnp.asarray(np.stack(pts_sh)),
+        b_pos=jnp.asarray(np.array(b_pos, np.int32)),
+        g_pos=jnp.asarray(np.array(g_pos, np.int32)),
+        babies_full=tuple(babies),
+        babies=tuple(b for b in babies if b != 0),
+        giants=tuple(g * n1 for g in giants),
+        n_giants=len(giants),
+    )
+
+
+def eval_transform_scan(ev: Evaluator, tr: ScanTransform, ct: Ciphertext,
+                        rots_cache: dict) -> Ciphertext:
+    """Evaluate one block given a shared baby-rotation cache for this ct.
+
+    rots_cache maps baby amount -> uint32 (2, L, N); amount 0 is the ct.
+    Returns the UN-rescaled accumulated ciphertext at scale Delta*q_level.
+    """
+    dl = dev_level(ev.ctx, ct.level)
+    qp = dl.q_p[:, None]
+    nl = ct.level + 1
+
+    # baby stack exactly in compile-time b_index order
+    rot_stack = jnp.stack([rots_cache[b] for b in tr.babies_full])
+
+    pts = tr.pts[:, :nl]
+    pts_sh = tr.pts_shoup[:, :nl]
+
+    def diag_body(acc, inp):
+        pt, pt_sh, bp, gp = inp
+        rot = rot_stack[bp]
+        prod = shoup_mul(rot, pt[None], pt_sh[None], qp)
+        acc = acc.at[gp].set(add_mod(acc[gp], prod, qp))
+        return acc, None
+
+    acc0 = jnp.zeros((tr.n_giants, 2, nl, ct.data.shape[-1]), jnp.uint32)
+    acc, _ = jax.lax.scan(diag_body, acc0,
+                          (pts, pts_sh, tr.b_pos, tr.g_pos))
+
+    # giant rotations: rotate acc[i] by giants[i] and sum
+    out = None
+    nonzero_giants = [(i, a) for i, a in enumerate(tr.giants) if a != 0]
+    if tr.giants and tr.giants[0] == 0:
+        out = acc[0]
+    if nonzero_giants:
+        pack = build_key_pack(ev, [a for _, a in nonzero_giants])
+        amount_to_slot = {a: s for s, a in enumerate(pack.amounts)}
+
+        def giant_body(carry, inp):
+            acc_i, perm, kd, kds = inp
+            cperm = acc_i[..., perm]
+            ks = keyswitch(cperm[1], dl, kd, kds)
+            rot = jnp.stack([add_mod(cperm[0], ks[0], qp), ks[1]])
+            return add_mod(carry, rot, qp), None
+
+        idx = [amount_to_slot[a] for _, a in nonzero_giants]
+        sel = jnp.asarray(np.array([i for i, _ in nonzero_giants], np.int32))
+        carry0 = out if out is not None else jnp.zeros_like(acc[0])
+        out, _ = jax.lax.scan(
+            giant_body, carry0,
+            (acc[sel], pack.perms[jnp.asarray(np.array(idx, np.int32))],
+             pack.ksk[jnp.asarray(np.array(idx, np.int32))],
+             pack.ksk_shoup[jnp.asarray(np.array(idx, np.int32))]))
+    if out is None:
+        raise ValueError("empty transform")
+    ql = ev.ctx.q_primes[ct.level]
+    return Ciphertext(out, ct.level, ct.scale * float(ql))
+
+
+def baby_rotation_cache(ev: Evaluator, ct: Ciphertext,
+                        amounts) -> dict:
+    """rot_b(ct) for all amounts (shared across blocks in a row/column)."""
+    amounts = sorted(set(int(a) for a in amounts))
+    cache = {0: ct.data}
+    todo = [a for a in amounts if a != 0]
+    if todo:
+        pack = build_key_pack(ev, todo)
+        rots = rotate_scan(ev, ct, pack)
+        for slot, a in enumerate(pack.amounts):
+            cache[a] = rots[slot]
+    return cache
+
+
+def eval_transform_blocked_scan(ev: Evaluator, grid: dict,
+                                cts: list[Ciphertext],
+                                num_rows: int) -> list[Ciphertext]:
+    """Blocked transform with the scan path (lt_evaluator semantics:
+    accumulate column blocks, ONE rescale per output row)."""
+    num_cols = len(cts)
+    babies_per_col = {j: set() for j in range(num_cols)}
+    for (i, j), tr in grid.items():
+        babies_per_col[j] |= set(tr.babies) | {0}
+    rot_caches = {
+        j: baby_rotation_cache(ev, cts[j], babies_per_col[j])
+        for j in range(num_cols)
+    }
+    outs = []
+    for i in range(num_rows):
+        acc = None
+        for j in range(num_cols):
+            tr = grid.get((i, j))
+            if tr is None:
+                continue
+            part = eval_transform_scan(ev, tr, cts[j], rot_caches[j])
+            acc = part if acc is None else ev.add(acc, part)
+        outs.append(ev.rescale(acc))
+    return outs

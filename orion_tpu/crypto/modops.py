@@ -22,9 +22,10 @@ cross-lane traffic.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = np.uint32(0xFFFF)
 
 
 def mulhi32(a, b):

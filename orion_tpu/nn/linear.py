@@ -99,17 +99,16 @@ class Linear(LinearTransform):
 
     def forward(self, x):
         if not self.he_mode:
-            import jax.numpy as jnp
             if x.ndim != 2:
                 extra = (" Forgot to call on.Flatten() first?"
                          if x.ndim == 4 else "")
                 raise ValueError(
                     f"Expected 2D input (N, in_features) to "
                     f"{type(self).__name__}, got {x.shape}." + extra)
-            out = jnp.asarray(x) @ self.weight.data.T
+            out = np.asarray(x, dtype=np.float32) @ self.weight.data.T
             if self.bias is not None:
                 out = out + self.bias.data
-            return np.asarray(out)
+            return out
         return self.evaluate_transforms(x)
 
 
@@ -168,19 +167,27 @@ class Conv2d(LinearTransform):
         if not self.he_mode:
             import jax
             import jax.numpy as jnp
+            from .module import host_cpu
             if x.ndim != 4:
                 raise ValueError(
                     f"Expected 4D input (N, C, H, W) to "
                     f"{type(self).__name__}, got {x.shape}.")
-            out = jax.lax.conv_general_dilated(
-                jnp.asarray(x), jnp.asarray(self.weight.data),
+            with host_cpu():
+                out = self._clear_conv(jnp.asarray(np.asarray(x)))
+            return np.asarray(out)
+        return self.evaluate_transforms(x)
+
+    def _clear_conv(self, x):
+        import jax
+        import jax.numpy as jnp
+        out = jax.lax.conv_general_dilated(
+                x, jnp.asarray(self.weight.data),
                 window_strides=self.stride,
                 padding=[(self.padding[0], self.padding[0]),
                          (self.padding[1], self.padding[1])],
                 rhs_dilation=self.dilation,
                 feature_group_count=self.groups,
                 dimension_numbers=("NCHW", "OIHW", "NCHW"))
-            if self.bias is not None:
-                out = out + self.bias.data[None, :, None, None]
-            return np.asarray(out)
-        return self.evaluate_transforms(x)
+        if self.bias is not None:
+            out = out + self.bias.data[None, :, None, None]
+        return out

@@ -113,7 +113,11 @@ class Module(ABC):
         tr = active_tracer()
         if tr is not None and self.is_leaf():
             return tr.run_leaf(self, args)
-        return self.forward(*args)
+        out = self.forward(*args)
+        pb = getattr(self, "post_bootstrap", None)
+        if pb is not None and self.he_mode:
+            out = pb(out)
+        return out
 
     @abstractmethod
     def forward(self, *x):
@@ -167,6 +171,16 @@ class ModuleList(Module):
 
     def forward(self, *x):
         raise RuntimeError("ModuleList is not callable")
+
+
+def host_cpu():
+    """Context manager pinning eager cleartext math to the host CPU device.
+
+    Under the TPU backend, eager per-op dispatch round-trips the device for
+    every tiny op — statistics fitting is client-side host work.
+    """
+    import jax
+    return jax.default_device(jax.devices("cpu")[0])
 
 
 def timer(func):

@@ -46,16 +46,18 @@ class AvgPool2d(Conv2d):
         if not self.he_mode:
             import jax
             import jax.numpy as jnp
-            x = jnp.asarray(x)
-            kh, kw = self.kernel_size
-            c = x.shape[1]
-            w = jnp.full((c, 1, kh, kw), 1.0 / (kh * kw), dtype=x.dtype)
-            out = jax.lax.conv_general_dilated(
-                x, w, window_strides=self.stride,
-                padding=[(self.padding[0], self.padding[0]),
-                         (self.padding[1], self.padding[1])],
-                feature_group_count=c,
-                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            from .module import host_cpu
+            with host_cpu():
+                x = jnp.asarray(np.asarray(x, dtype=np.float32))
+                kh, kw = self.kernel_size
+                c = x.shape[1]
+                w = jnp.full((c, 1, kh, kw), 1.0 / (kh * kw), dtype=x.dtype)
+                out = jax.lax.conv_general_dilated(
+                    x, w, window_strides=self.stride,
+                    padding=[(self.padding[0], self.padding[0]),
+                             (self.padding[1], self.padding[1])],
+                    feature_group_count=c,
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"))
             return np.asarray(out)
         return self.evaluate_transforms(x)
 

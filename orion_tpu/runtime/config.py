@@ -1,0 +1,136 @@
+"""Configuration parsing.
+
+Reference parity: `orion/backend/python/parameters.py` — the same YAML
+schema (`ckks_params` / `boot_params` / `orion` sections, see
+`configs/*.yml` in the reference) so existing configs port directly.
+
+TPU adjustments:
+  * moduli wider than 30 bits are split into several <=30-bit primes
+    (32-bit vector lanes); the extra limbs of a split q_0 become a
+    `base_level` floor below which ciphertexts never rescale, so the
+    reference's level accounting (l_eff = len(LogQ)-1) is preserved.
+  * `backend:` accepts "tpu" (and silently maps the reference's backend
+    names onto the TPU stack — there is only one backend here).
+  * RingType ConjugateInvariant is not implemented yet; configs using it
+    fall back to the standard ring with slots = N/2.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+def split_modulus(bits: int) -> list[int]:
+    """Split a modulus wider than 30 bits into near-equal <=30-bit parts."""
+    if bits <= 30:
+        return [bits]
+    parts = math.ceil(bits / 30)
+    base = bits // parts
+    rem = bits - base * parts
+    return [base + (1 if i < rem else 0) for i in range(parts)]
+
+
+@dataclass
+class Params:
+    # ckks params
+    logn: int = 13
+    logq: list = field(default_factory=lambda: [29, 26, 26, 26, 26, 26])
+    logp: list = field(default_factory=lambda: [29, 29])
+    logscale: int = 26
+    h: int = 8192
+    ring_type: str = "standard"
+    # boot params
+    boot_logp: list = field(default_factory=list)
+    # orion params
+    margin: float = 2.0
+    embedding_method: str = "hybrid"
+    backend: str = "tpu"
+    fuse_modules: bool = True
+    debug: bool = False
+    io_mode: str = "none"
+    diags_path: str = ""
+    keys_path: str = ""
+    seed: int = 0
+
+    # derived
+    split_logq: list = field(default_factory=list)
+    base_level: int = 0
+
+    @property
+    def n(self):
+        return 1 << self.logn
+
+    @property
+    def slots(self):
+        return self.n // 2
+
+    @property
+    def l_eff(self):
+        return len(self.logq) - 1
+
+    @property
+    def max_level(self):
+        return len(self.split_logq) - 1
+
+    @property
+    def default_scale(self):
+        return float(1 << self.logscale)
+
+    def ref_to_internal_level(self, ref_level: int) -> int:
+        return ref_level + self.base_level
+
+    def get_margin(self):
+        return self.margin
+
+    def get_debug_status(self):
+        return self.debug
+
+
+def parse_config(config: dict) -> Params:
+    ckks = config.get("ckks_params", {})
+    orion_cfg = config.get("orion", {})
+    boot = config.get("boot_params", {})
+
+    p = Params()
+    p.logn = int(ckks.get("LogN", p.logn))
+    p.logq = list(ckks.get("LogQ", p.logq))
+    p.logp = list(ckks.get("LogP", p.logp))
+    p.logscale = int(ckks.get("LogScale", p.logscale))
+    p.h = int(ckks.get("H", p.h))
+    ring = str(ckks.get("RingType", "Standard")).lower()
+    if ring not in ("standard",):
+        print(f"[orion_tpu] RingType {ring!r} not supported yet; "
+              "falling back to the standard ring (slots = N/2)")
+    p.ring_type = "standard"
+    p.boot_logp = list(boot.get("LogP", []))
+
+    p.margin = float(orion_cfg.get("margin", p.margin))
+    p.embedding_method = str(
+        orion_cfg.get("embedding_method", p.embedding_method))
+    p.backend = str(orion_cfg.get("backend", "tpu"))
+    p.fuse_modules = bool(orion_cfg.get("fuse_modules", True))
+    p.debug = bool(orion_cfg.get("debug", False))
+    p.io_mode = str(orion_cfg.get("io_mode", "none"))
+    p.diags_path = str(orion_cfg.get("diags_path", "") or "")
+    p.keys_path = str(orion_cfg.get("keys_path", "") or "")
+    p.seed = int(orion_cfg.get("seed", 0))
+
+    # split wide moduli for 32-bit lanes; q_0's extra limbs set base_level
+    q0_parts = split_modulus(p.logq[0])
+    rest = []
+    for b in p.logq[1:]:
+        parts = split_modulus(b)
+        if len(parts) > 1:
+            raise ValueError(
+                f"LogQ entry {b} > 30 beyond q0 is not supported on 32-bit "
+                "lanes; use more <=30-bit primes instead")
+        rest.extend(parts)
+    p.split_logq = q0_parts + rest
+    p.base_level = len(q0_parts) - 1
+
+    split_logp = []
+    for b in p.logp:
+        split_logp.extend(split_modulus(b))
+    p.logp = split_logp
+    return p

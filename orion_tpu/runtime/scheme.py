@@ -1,0 +1,211 @@
+"""Scheme orchestrator: init_scheme / fit / compile / encode / encrypt.
+
+Reference parity: `orion/core/orion.py` (the Scheme singleton driving the
+whole pipeline).  The compile pipeline follows `orion.py:196-316` step for
+step: build DAG -> clone orion params -> resolve pooling -> fuse ->
+pack diagonals (last linear forced to the square embedding) -> find
+residuals -> bootstrap solve/place -> per-module compile.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Dict, Union
+
+import numpy as np
+import yaml
+
+from ..crypto import CKKSContext, Encoder, Evaluator, KeyChest
+from ..nn.module import Module
+from ..nn.linear import LinearTransform
+from ..compiler.tracer import Tracer
+from ..compiler.dag import NetworkDAG
+from ..compiler.fuser import Fuser
+from ..compiler.level_dag import BootstrapSolver, BootstrapPlacer
+from .config import Params, parse_config
+from .services import (BootstrapperService, EncoderService, EncryptorService,
+                       LTEvaluatorService, PolyEvaluatorService)
+
+
+class Scheme:
+    def __init__(self):
+        self.ctx = None
+        self.tracer = None
+        self.params: Params | None = None
+
+    # ----------------- lifecycle ----------------- #
+
+    def init_scheme(self, config: Union[str, Dict[str, Any]]):
+        if isinstance(config, str):
+            with open(config) as f:
+                config = yaml.safe_load(f)
+        elif not isinstance(config, dict):
+            raise TypeError("config must be a YAML path or a dict")
+        self.params = parse_config(config)
+        p = self.params
+
+        self.ctx = CKKSContext(
+            logn=p.logn, logq=p.split_logq, logp=p.logp,
+            logscale=p.logscale, h=p.h, ring_type=p.ring_type, seed=p.seed)
+        self.enc = Encoder(self.ctx)
+        self.keys = KeyChest(self.ctx)
+        self.evaluator = Evaluator(self.ctx, self.keys)
+        self.input_level_default = self.ctx.max_level
+
+        self.encoder = EncoderService(self)
+        self.encryptor = EncryptorService(self)
+        self.lt_evaluator = LTEvaluatorService(self)
+        self.poly_evaluator = PolyEvaluatorService(self)
+        self.bootstrapper = BootstrapperService(self)
+        return self
+
+    def delete_scheme(self):
+        self.ctx = None
+
+    # ----------------- user data path ----------------- #
+
+    def encode(self, tensor, level=None, scale=None):
+        self._check_init()
+        return self.encoder.encode(tensor, level=level, scale=scale)
+
+    def decode(self, ptxt):
+        self._check_init()
+        return self.encoder.decode(ptxt)
+
+    def encrypt(self, ptxt):
+        self._check_init()
+        return self.encryptor.encrypt(ptxt)
+
+    def decrypt(self, ctxt):
+        self._check_init()
+        return self.encryptor.decrypt(ctxt)
+
+    # ----------------- fit ----------------- #
+
+    def fit(self, net: Module, input_data, batch_size: int = 128):
+        self._check_init()
+        net.set_scheme(self)
+        net.set_margin(self.params.margin)
+        net.eval()
+
+        tracer = Tracer(net)
+        self.tracer = tracer
+
+        print("\n{1} Finding per-layer input/output ranges and shapes...",
+              flush=True)
+        start = time.time()
+        batches, user_batch = self._as_batches(input_data, batch_size)
+        for batch in batches:
+            tracer.propagate(batch)
+        if user_batch is not None:
+            tracer.update_batch_size(user_batch)
+        print(f"done! [{time.time() - start:.3f} secs.]")
+
+        print("\n{2} Fitting polynomials... ", end="", flush=True)
+        start = time.time()
+        for module in net.modules():
+            if hasattr(module, "fit") and callable(module.fit):
+                module.fit()
+        print(f"done! [{time.time() - start:.3f} secs.]")
+
+    @staticmethod
+    def _as_batches(input_data, batch_size):
+        """Accept an ndarray, a list of arrays, or (x, y) batch iterables.
+
+        Loader inputs are re-batched to `batch_size` for the statistics
+        pass and the layer shapes are reset to the loader's own batch size
+        afterwards (reference `orion.py:147-173`).
+        Returns (batches, user_batch_size or None).
+        """
+        if isinstance(input_data, np.ndarray) or hasattr(input_data, "shape"):
+            return [np.asarray(input_data)], None
+        xs = []
+        user_batch = None
+        for item in input_data:
+            x = item[0] if isinstance(item, (tuple, list)) else item
+            x = np.asarray(x)
+            if user_batch is None:
+                user_batch = x.shape[0]
+            xs.append(x)
+        user_batch = getattr(input_data, "batch_size", user_batch)
+        all_x = np.concatenate(xs, axis=0)
+        big = max(batch_size, user_batch)
+        batches = [all_x[i:i + big] for i in range(0, len(all_x), big)]
+        return batches, user_batch
+
+    # ----------------- compile ----------------- #
+
+    def compile(self, net: Module):
+        self._check_init()
+        if self.tracer is None:
+            raise ValueError(
+                "Network has not been fit yet! Run fit(net, input_data) "
+                "before compile(net).")
+
+        dag = NetworkDAG(self.tracer).build_dag()
+
+        for module in net.modules():
+            if hasattr(module, "init_orion_params"):
+                module.init_orion_params()
+        for module in net.modules():
+            if hasattr(module, "update_params"):
+                module.update_params()
+
+        if self.params.fuse_modules:
+            fuser = Fuser(dag)
+            fuser.fuse_modules()
+            dag.remove_fused_batchnorms()
+
+        # pack diagonals; the last linear layer uses the square embedding so
+        # no replicated partials leak (reference `orion.py:253-268`)
+        topo = list(dag.topological_sort())
+        last_linear = None
+        for node in reversed(topo):
+            if isinstance(dag.nodes[node]["module"], LinearTransform):
+                last_linear = node
+                break
+        print("\n{3} Generating matrix diagonals...", flush=True)
+        for node in topo:
+            module = dag.nodes[node]["module"]
+            if isinstance(module, LinearTransform):
+                print(f"packing {node}...", flush=True)
+                module.generate_diagonals(last=(node == last_linear))
+
+        # bootstrap placement / level assignment
+        print("\n{4} Running bootstrap placement... ", end="", flush=True)
+        start = time.time()
+        solver = BootstrapSolver(net, dag, l_eff=self.params.l_eff,
+                                 slots=self.ctx.slots,
+                                 base_level=self.params.base_level)
+        input_level, num_btp, btp_slots = solver.solve()
+        print(f"done! [{time.time() - start:.3f} secs.]")
+        print(f"network requires {num_btp} bootstrap operation(s)")
+        for slot_count in btp_slots:
+            self.bootstrapper.generate_bootstrapper(slot_count)
+        BootstrapPlacer(net, dag, solver).place_bootstraps()
+
+        # per-module compile in topological order
+        print("\n{5} Compiling network layers...", flush=True)
+        for node in topo:
+            if node not in dag.nodes:
+                continue  # removed fused BN
+            module = dag.nodes[node]["module"]
+            if isinstance(module, Module):
+                print(f"|-- {node} @ level={module.level}", flush=True)
+                if hasattr(module, "compile") and callable(module.compile):
+                    module.compile()
+                pb = getattr(module, "post_bootstrap", None)
+                if pb is not None:
+                    pb.compile()
+
+        self.input_level = input_level
+        return input_level
+
+    def _check_init(self):
+        if self.ctx is None:
+            raise ValueError(
+                "Scheme not initialized. Call init_scheme() first.")
+
+
+scheme = Scheme()

@@ -1,0 +1,190 @@
+"""Backend service layer: encoder, encryptor, LT/poly evaluators,
+bootstrapper shell.
+
+Reference parity: `orion/backend/python/{encoder,encryptor,lt_evaluator,
+poly_evaluator,bootstrapper}.py`.  These wrap the crypto layer with
+multi-ciphertext semantics and compile-time key management.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..crypto.ciphertext import Ciphertext, Plaintext
+from ..crypto import lintrans
+from ..crypto.polyeval import Polynomial, evaluate_polynomial
+from .tensors import CipherTensor, PlainTensor
+
+
+class EncoderService:
+    """Splits arbitrary-length vectors into ceil(numel/slots) plaintexts
+    (reference `encoder.py:14-50`)."""
+
+    def __init__(self, scheme):
+        self.scheme = scheme
+        self.enc = scheme.enc  # crypto Encoder
+
+    def encode(self, values, level=None, scale=None, on_shape=None,
+               with_shoup=False) -> PlainTensor:
+        import jax.numpy as jnp
+        ctx = self.scheme.ctx
+        values = np.asarray(values, dtype=np.float64)
+        shape = values.shape
+        flat = values.reshape(-1)
+        slots = ctx.slots
+        num_pt = max(1, math.ceil(flat.size / slots))
+        padded = np.zeros(num_pt * slots)
+        padded[: flat.size] = flat
+        if level is None:
+            level = self.scheme.input_level_default
+        pts = []
+        for i in range(num_pt):
+            chunk = padded[i * slots:(i + 1) * slots]
+            if with_shoup:
+                data, shoup, s = self.enc.encode(
+                    chunk, level=level, scale=scale, with_shoup=True)
+                pts.append(Plaintext(jnp.asarray(data.astype(np.uint32)),
+                                     jnp.asarray(shoup), level, s))
+            else:
+                data, s = self.enc.encode(chunk, level=level, scale=scale)
+                pts.append(Plaintext(jnp.asarray(data.astype(np.uint32)),
+                                     None, level, s))
+        return PlainTensor(self.scheme, pts, shape, on_shape or shape)
+
+    def decode(self, ptensor: PlainTensor) -> np.ndarray:
+        vals = []
+        for pt in ptensor.plaintexts:
+            raw = np.asarray(pt.data).astype(np.int64)
+            vals.append(self.enc.decode(raw, pt.scale))
+        flat = np.concatenate(vals)
+        numel = int(np.prod(ptensor.on_shape))
+        return flat[:numel].reshape(ptensor.on_shape)
+
+    def get_moduli_chain(self):
+        return self.scheme.ctx.moduli_chain()
+
+
+class EncryptorService:
+    """Per-plaintext encrypt/decrypt loops (reference `encryptor.py`)."""
+
+    def __init__(self, scheme):
+        self.scheme = scheme
+
+    def encrypt(self, ptensor: PlainTensor) -> CipherTensor:
+        import jax.numpy as jnp
+        keys = self.scheme.keys
+        cts = []
+        for pt in ptensor.plaintexts:
+            raw = np.asarray(pt.data).astype(np.int64)
+            ct = keys.encrypt_rns(raw)
+            cts.append(Ciphertext(jnp.asarray(ct.astype(np.uint32)),
+                                  pt.level, pt.scale))
+        return CipherTensor(self.scheme, cts, ptensor.shape,
+                            ptensor.on_shape)
+
+    def decrypt(self, ctensor: CipherTensor) -> PlainTensor:
+        import jax.numpy as jnp
+        keys = self.scheme.keys
+        pts = []
+        for ct in ctensor.cts:
+            raw = keys.decrypt_rns(np.asarray(ct.data).astype(np.int64))
+            pts.append(Plaintext(jnp.asarray(raw.astype(np.uint32)), None,
+                                 ct.level, ct.scale))
+        return PlainTensor(self.scheme, pts, ctensor.shape,
+                           ctensor.on_shape)
+
+
+class LTEvaluatorService:
+    """Compile + evaluate blocked BSGS transforms; pre-generates the
+    consolidated rotation-key set (reference `lt_evaluator.py`)."""
+
+    def __init__(self, scheme):
+        self.scheme = scheme
+        self.generated_rotations: set[int] = set()
+
+    def generate_transforms(self, layer):
+        from ..crypto import lintrans_scan
+        ctx = self.scheme.ctx
+        level = layer.level
+        compiled = {}
+        rotations = set()
+        for (row, col), diags in layer.diagonals.items():
+            tr = lintrans_scan.compile_transform_scan(
+                self.scheme.enc, diags, level, ctx.slots, layer.bsgs_ratio)
+            compiled[(row, col)] = tr
+            rotations |= set(tr.babies) | set(a for a in tr.giants if a)
+        # hybrid output rotations
+        for i in range(1, layer.output_rotations + 1):
+            rotations.add(ctx.slots // (2 ** i))
+        self.generate_rotation_keys(rotations)
+        layer.compiled = compiled
+        return compiled
+
+    def generate_rotation_keys(self, rotations):
+        new = set(rotations) - self.generated_rotations
+        for r in sorted(new):
+            self.scheme.keys.rotation_key(r)
+        self.generated_rotations |= new
+
+    def evaluate_transforms(self, layer, in_ctensor: CipherTensor):
+        from ..crypto import lintrans_scan
+        ev = self.scheme.evaluator
+        rows = max(r for (r, c) in layer.compiled) + 1
+        outs = lintrans_scan.eval_transform_blocked_scan(
+            ev, layer.compiled, in_ctensor.cts, rows)
+        return CipherTensor(self.scheme, outs, layer.output_shape,
+                            layer.fhe_output_shape)
+
+
+class PolyEvaluatorService:
+    """Reference `poly_evaluator.py`: polynomial objects + evaluation +
+    minimax sign coefficient generation."""
+
+    def __init__(self, scheme):
+        self.scheme = scheme
+        self._minimax_cache = {}
+
+    def generate_monomial(self, coeffs):
+        return Polynomial(list(coeffs), "monomial")
+
+    def generate_chebyshev(self, coeffs):
+        return Polynomial(list(coeffs), "chebyshev")
+
+    def evaluate_polynomial(self, ctensor: CipherTensor, poly: Polynomial,
+                            output_scale=None) -> CipherTensor:
+        ev = self.scheme.evaluator
+        outs = [evaluate_polynomial(ev, ct, poly, output_scale)
+                for ct in ctensor.cts]
+        return CipherTensor(self.scheme, outs, ctensor.shape,
+                            ctensor.on_shape)
+
+    def generate_minimax_sign_coeffs(self, degrees, prec=128, logalpha=6,
+                                     logerr=12):
+        from ..crypto.minimax import generate_minimax_sign_coeffs
+        key = (tuple(degrees), prec, logalpha, logerr)
+        if key not in self._minimax_cache:
+            self._minimax_cache[key] = generate_minimax_sign_coeffs(
+                list(degrees), prec, logalpha, logerr)
+        return self._minimax_cache[key]
+
+
+class BootstrapperService:
+    """Per-slot-count bootstrappers (reference `bootstrapper.py`).
+
+    CKKS bootstrapping (CtS/EvalMod/StC) is the round-2 milestone; the
+    service exists so auto-placement and the API are complete."""
+
+    def __init__(self, scheme):
+        self.scheme = scheme
+        self.bootstrappers = {}
+
+    def generate_bootstrapper(self, slot_count):
+        raise NotImplementedError(
+            "CKKS bootstrapping is not implemented yet on the TPU backend; "
+            "choose parameters with enough levels (no bootstrap placement)")
+
+    def bootstrap(self, ct, slots):
+        raise NotImplementedError(
+            "CKKS bootstrapping is not implemented yet on the TPU backend")
