@@ -5,7 +5,7 @@ from .activation import (Activation, Quad, Chebyshev, ELU, Hardshrink, GELU,
 from .normalization import BatchNormNd, BatchNorm1d, BatchNorm2d
 from .pooling import AvgPool2d, AdaptiveAvgPool2d
 from .operations import Add, Mult, Bootstrap
-from .reshape import Flatten
+from .reshape import Flatten, Identity
 
 __all__ = [
     "Module", "Parameter", "Sequential", "ModuleList",
@@ -14,5 +14,5 @@ __all__ = [
     "Sigmoid", "SELU", "Softplus", "Mish", "ReLU",
     "BatchNormNd", "BatchNorm1d", "BatchNorm2d",
     "AvgPool2d", "AdaptiveAvgPool2d",
-    "Add", "Mult", "Bootstrap", "Flatten",
+    "Add", "Mult", "Bootstrap", "Flatten", "Identity",
 ]

@@ -88,3 +88,13 @@ class AdaptiveAvgPool2d(AvgPool2d):
         # gap override (reference `pooling.py:68-96`): adaptive pooling
         # keeps the multiplexed layout of its input
         return kwargs["input_gap"] * self.stride[0]
+
+    def forward(self, x):
+        if not self.he_mode:
+            # adaptive mean over equal blocks (kernel resolved at compile)
+            x = np.asarray(x, dtype=np.float32)
+            n, c, h, w = x.shape
+            ho, wo = self.output_size
+            return x.reshape(n, c, ho, h // ho, wo, w // wo).mean(
+                axis=(3, 5))
+        return self.evaluate_transforms(x)

@@ -17,3 +17,15 @@ class Flatten(Module):
         if self.he_mode:
             return x
         return np.asarray(x).reshape(x.shape[0], -1)
+
+
+class Identity(Module):
+    """Pass-through module (torch nn.Identity parity; used by YOLO to strip
+    backbone heads and by ResNet's optional pool slot)."""
+
+    def __init__(self):
+        super().__init__()
+        self.set_depth(0)
+
+    def forward(self, x):
+        return x
