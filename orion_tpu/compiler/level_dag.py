@@ -148,10 +148,13 @@ class BootstrapSolver:
                 continue
             for lo in range(self.base, lo_nat + 1):
                 U[li - self.base, lo - self.base] = w  # free mod-drop
-            # bootstrap after the unit: refresh to the top level
-            bw = w + boot_latency(self.l_eff, unit.num_cts)
-            if bw < U[li - self.base, top - self.base]:
-                U[li - self.base, top - self.base] = bw
+            # bootstrap after the unit: refresh to the top level.  The
+            # Bootstrap module's prescale multiply consumes one level
+            # before the refresh, so one spare level is required.
+            if lo_nat >= self.base + 1:
+                bw = w + boot_latency(self.l_eff, unit.num_cts)
+                if bw < U[li - self.base, top - self.base]:
+                    U[li - self.base, top - self.base] = bw
         return U
 
     def _chain_matrix(self, chain: list) -> np.ndarray:

@@ -40,13 +40,32 @@ class TracedTensor:
     def shape(self):
         return self.value.shape
 
-    def _no_op(self, *_):
+    def _scalar_op(self, other, fn):
+        """Scalar arithmetic is transparent during tracing (it compiles to
+        level-free scalar ops under FHE, e.g. ReLU's integer postscale);
+        tensor-tensor arithmetic must go through on.Add / on.Mult."""
+        if isinstance(other, (int, float, np.integer, np.floating)):
+            return TracedTensor(fn(self.value, other), self.node)
         raise TypeError(
-            "Arithmetic on traced activations must use orion_tpu.nn modules "
-            "(on.Add / on.Mult), mirroring the reference model style; raw "
-            "operators cannot be compiled to FHE.")
+            "Tensor arithmetic on traced activations must use orion_tpu.nn "
+            "modules (on.Add / on.Mult), mirroring the reference model "
+            "style; raw operators cannot be compiled to FHE.")
 
-    __add__ = __radd__ = __mul__ = __rmul__ = __sub__ = __rsub__ = _no_op
+    def __mul__(self, o):
+        return self._scalar_op(o, lambda v, s: v * s)
+
+    __rmul__ = __mul__
+
+    def __add__(self, o):
+        return self._scalar_op(o, lambda v, s: v + s)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._scalar_op(o, lambda v, s: v - s)
+
+    def __rsub__(self, o):
+        return self._scalar_op(o, lambda v, s: s - v)
 
 
 class NodeStats:

@@ -39,17 +39,21 @@ class KeySwitchKey:
 
 
 class KeyChest:
-    def __init__(self, ctx: CKKSContext, seed: int | None = None):
+    def __init__(self, ctx: CKKSContext, seed: int | None = None,
+                 secret: np.ndarray | None = None):
         self.ctx = ctx
         self.rng = np.random.default_rng(
             ctx.seed if seed is None else seed)
         self.sigma = 3.2
 
         n, n_all = ctx.n, ctx.n_all
-        # secret: ternary, hamming weight h
-        s = np.zeros(n, dtype=np.int64)
-        idx = self.rng.choice(n, size=ctx.h, replace=False)
-        s[idx] = self.rng.choice(np.array([-1, 1]), size=ctx.h)
+        if secret is not None:
+            s = np.asarray(secret, dtype=np.int64)
+        else:
+            # secret: ternary, hamming weight h
+            s = np.zeros(n, dtype=np.int64)
+            idx = self.rng.choice(n, size=ctx.h, replace=False)
+            s[idx] = self.rng.choice(np.array([-1, 1]), size=ctx.h)
         self.s_coeff = s
         self.s_ntt = ctx.host.ntt(self._lift(s, n_all))
 
@@ -68,6 +72,12 @@ class KeyChest:
             s2_ntt[i] = self.s_ntt[i] * self.s_ntt[i] % ctx.primes[i]
         self.relin_key = self._gen_ksk(s2_ntt)
         self.galois_keys: dict[int, KeySwitchKey] = {}
+
+    @classmethod
+    def from_secret(cls, ctx: CKKSContext, s_coeff: np.ndarray,
+                    seed: int | None = None) -> "KeyChest":
+        """Rebuild the key chest from a saved secret key (io_mode load)."""
+        return cls(ctx, seed=seed, secret=s_coeff)
 
     # ----------------------------- sampling ----------------------------- #
 

@@ -93,6 +93,7 @@ class ScanTransform:
     """One compiled (slots x slots) block in scan form."""
     level: int
     n1: int
+    pt_scale: float
     pts: jnp.ndarray         # (n_d, L+1, N) uint32, pre-rotated by -g*n1
     pts_shoup: jnp.ndarray
     b_pos: jnp.ndarray       # (n_d,) int32: index into the baby-rot stack
@@ -104,17 +105,23 @@ class ScanTransform:
 
 
 def compile_transform_scan(encoder, diagonals, level, slots,
-                           bsgs_ratio=2.0) -> ScanTransform:
+                           bsgs_ratio=2.0, pt_scale=None) -> ScanTransform:
+    """pt_scale overrides the plaintext encoding scale (default: q_level,
+    the errorless-rescale choice).  Bootstrapping's StC stages use
+    q_level / 2^(s/stages) to absorb the EvalMod scale boost."""
     from .lintrans import choose_n1
-    ql = float(encoder.ctx.q_primes[level])
+    ql = float(pt_scale) if pt_scale is not None else float(
+        encoder.ctx.q_primes[level])
     n1 = choose_n1(len(diagonals), slots, bsgs_ratio)
 
     entries = []
     for idx, vec in diagonals.items():
         g, b = divmod(int(idx) % slots, n1)
-        v = np.asarray(vec, dtype=np.float64)
+        v = np.asarray(vec)
+        dtype = np.complex128 if np.iscomplexobj(v) else np.float64
+        v = v.astype(dtype)
         if v.shape[0] != slots:
-            pad = np.zeros(slots)
+            pad = np.zeros(slots, dtype=dtype)
             pad[: v.shape[0]] = v
             v = pad
         entries.append((g, b, np.roll(v, g * n1)))
@@ -134,7 +141,7 @@ def compile_transform_scan(encoder, diagonals, level, slots,
         g_pos.append(g_index[g])
 
     return ScanTransform(
-        level=level, n1=n1,
+        level=level, n1=n1, pt_scale=ql,
         pts=jnp.asarray(np.stack(pts)),
         pts_shoup=jnp.asarray(np.stack(pts_sh)),
         b_pos=jnp.asarray(np.array(b_pos, np.int32)),
@@ -200,8 +207,7 @@ def eval_transform_scan(ev: Evaluator, tr: ScanTransform, ct: Ciphertext,
              pack.ksk_shoup[jnp.asarray(np.array(idx, np.int32))]))
     if out is None:
         raise ValueError("empty transform")
-    ql = ev.ctx.q_primes[ct.level]
-    return Ciphertext(out, ct.level, ct.scale * float(ql))
+    return Ciphertext(out, ct.level, ct.scale * tr.pt_scale)
 
 
 def baby_rotation_cache(ev: Evaluator, ct: Ciphertext,

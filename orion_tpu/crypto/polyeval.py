@@ -52,12 +52,30 @@ class Polynomial:
 
 
 class PowerBasis:
-    """Lazy cache of ciphertext powers of x in the chosen basis."""
+    """Lazy cache of ciphertext powers of x in the chosen basis.
 
-    def __init__(self, ev: Evaluator, x: Ciphertext, basis: str):
+    hi_scale mode: the working scale is ~x.scale^2 / default_scale (e.g.
+    2^52 for Delta = 2^26) and every ct-ct product rescales TWICE — the
+    32-bit-lane equivalent of evaluating at a double-width prime, which
+    keeps bootstrap EvalMod far above the noise floor.
+    """
+
+    def __init__(self, ev: Evaluator, x: Ciphertext, basis: str,
+                 hi_scale: bool = False):
         self.ev = ev
         self.basis = basis
+        self.hi = hi_scale
         self.cache: dict[int, Ciphertext] = {1: x}
+        self.work_scale = x.scale
+
+    @property
+    def rescales_per_mult(self) -> int:
+        return 2 if self.hi else 1
+
+    def _norm(self, t: Ciphertext) -> Ciphertext:
+        if self.hi:
+            t = self.ev.rescale(t)
+        return t
 
     def get(self, i: int) -> Ciphertext:
         if i in self.cache:
@@ -67,10 +85,10 @@ class PowerBasis:
         b = i // 2
         ta, tb = self.get(a), self.get(b)
         if self.basis == "monomial":
-            out = ev.mul_relin(ta, tb)  # x^a * x^b, rescaled
+            out = self._norm(ev.mul_relin(ta, tb))
         else:
             # T_{a+b} = 2*T_a*T_b - T_{a-b}, a-b in {0, 1}
-            t = ev.mul_relin(ta, tb)
+            t = self._norm(ev.mul_relin(ta, tb))
             t = ev.mul_scalar_int(t, 2)
             if a == b:
                 out = ev.sub_scalar(t, 1.0)
@@ -95,15 +113,17 @@ def _nonzero_deg(coeffs: list[float]) -> int:
 
 
 def evaluate_polynomial(ev: Evaluator, x: Ciphertext, poly: Polynomial,
-                        output_scale: float | None = None) -> Ciphertext:
+                        output_scale: float | None = None,
+                        hi_scale: bool = False) -> Ciphertext:
     """Evaluate poly(x) homomorphically.  Returns ct at `output_scale`
-    (default: x.scale)."""
+    (default: x.scale).  hi_scale doubles rescales per multiplication for
+    wide working scales (bootstrap EvalMod)."""
     target = float(output_scale) if output_scale else x.scale
     d = _nonzero_deg(poly.coeffs)
     if d <= 0:
         raise ValueError("constant polynomial: nothing to evaluate")
     m = max(1, int(math.ceil(math.log2(d + 1))))
-    pb = PowerBasis(ev, x, poly.basis)
+    pb = PowerBasis(ev, x, poly.basis, hi_scale=hi_scale)
     for k in range(1, m):
         pb.get(1 << k)  # only power-of-two powers are needed
     out = _eval_rec(ev, pb, list(poly.coeffs[: d + 1]), target)
@@ -156,7 +176,10 @@ def _eval_rec(ev: Evaluator, pb: PowerBasis, coeffs: list[float],
         qterm = ev.mul_scalar_at(tg, cq, enc_scale).with_(scale=target)
     else:
         lp = min(lq, tg.level)
-        target_q = target * ev.ctx.q_primes[lp] / tg.scale
+        drop = ev.ctx.q_primes[lp]
+        if pb.hi:
+            drop *= ev.ctx.q_primes[lp - 1]
+        target_q = target * drop / tg.scale
         qres = _eval_rec(ev, pb, q, target_q)
         q_ct, q_const = qres
         if q_ct is None:
@@ -167,7 +190,10 @@ def _eval_rec(ev: Evaluator, pb: PowerBasis, coeffs: list[float],
             if abs(q_const) > _COEF_EPS:
                 q_ct = ev.add_scalar(q_ct, q_const)
             qterm = ev.mul_relin(q_ct, tg, rescale=False)
-            qterm = ev.rescale(qterm).with_(scale=target)
+            qterm = ev.rescale(qterm)
+            if pb.hi:
+                qterm = ev.rescale(qterm)
+            qterm = qterm.with_(scale=target)
 
     rres = _eval_rec(ev, pb, r, target)
     if rres is None:
@@ -196,6 +222,7 @@ def _predict_level(ev: Evaluator, pb: PowerBasis, coeffs: list[float]):
         for i in range(g + 1, d + 1):
             r[2 * g - i] -= coeffs[i]
     lq = _predict_level(ev, pb, q)
-    lp = (tg.level if lq is None else min(lq, tg.level)) - 1
+    lp = (tg.level if lq is None else min(lq, tg.level)) \
+        - pb.rescales_per_mult
     lr = _predict_level(ev, pb, r)
     return lp if lr is None else min(lp, lr)

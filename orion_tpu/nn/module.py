@@ -198,6 +198,9 @@ def timer(func):
             if hasattr(self, "input_min"):
                 print(f"Clear input min/max: {self.input_min:.3f} / "
                       f"{self.input_max:.3f}")
+            if args and hasattr(args[0], "min"):
+                print(f"FHE input min/max: {args[0].min():.3f} / "
+                      f"{args[0].max():.3f}")
             start = time.time()
         result = func(self, *args, **kwargs)
         if debug:
@@ -205,6 +208,9 @@ def timer(func):
             omax = getattr(self, "output_max", getattr(self, "input_max", 0.0))
             elapsed = time.time() - start
             print(f"Clear output min/max: {omin:.3f} / {omax:.3f}")
+            if hasattr(result, "min"):
+                print(f"FHE output min/max: {result.min():.3f} / "
+                      f"{result.max():.3f}")
             print(f"done! [{elapsed:.3f} secs.]")
         return result
 

@@ -51,11 +51,15 @@ class Bootstrap(Module):
         half_range = (self.input_max - self.input_min) / 2
         self.low = center - self.margin * half_range
         self.high = center + self.margin * half_range
-        # scale into [-1, 1] by 1/integer so the return trip (by the
-        # integer) consumes no level
-        if self.high - self.low > 2:
-            self.postscale = math.ceil((self.high - self.low) / 2)
-            self.prescale = 1.0 / self.postscale
+        # scale into [-1/ratio, 1/ratio] by 1/integer so the return trip
+        # (by the integer) consumes no level.  ratio > 1 keeps the EvalMod
+        # sine linearisation error below the noise floor when q0 is a
+        # single <=30-bit prime (see crypto/bootstrap.py).
+        ratio = 8
+        if self.scheme is not None and getattr(self.scheme.params, "boot", None):
+            ratio = int(self.scheme.params.boot.get("MsgRatio", 8))
+        self.postscale = max(1, math.ceil((self.high - self.low) / 2)) * ratio
+        self.prescale = 1.0 / self.postscale
         self.constant = -(self.low + self.high) / 2
 
     def compile(self):

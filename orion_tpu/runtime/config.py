@@ -42,6 +42,7 @@ class Params:
     ring_type: str = "standard"
     # boot params
     boot_logp: list = field(default_factory=list)
+    boot: dict = field(default_factory=dict)  # circuit knobs (or {} = none)
     # orion params
     margin: float = 2.0
     embedding_method: str = "hybrid"
@@ -104,6 +105,17 @@ def parse_config(config: dict) -> Params:
               "falling back to the standard ring (slots = N/2)")
     p.ring_type = "standard"
     p.boot_logp = list(boot.get("LogP", []))
+    if boot:
+        import math as _math
+        mod_degree = int(boot.get("ModDegree", 255))
+        p.boot = {
+            "CtSLevels": int(boot.get("CtSLevels", 3)),
+            "StCLevels": int(boot.get("StCLevels", 3)),
+            "ModDegree": mod_degree,
+            "K": int(boot.get("K", 16)),
+            "MsgRatio": int(boot.get("MsgRatio", 8)),
+            "ModDepth": 2 * int(_math.ceil(_math.log2(mod_degree + 1))),
+        }
 
     p.margin = float(orion_cfg.get("margin", p.margin))
     p.embedding_method = str(
@@ -128,6 +140,13 @@ def parse_config(config: dict) -> Params:
         rest.extend(parts)
     p.split_logq = q0_parts + rest
     p.base_level = len(q0_parts) - 1
+
+    # bootstrap circuit primes live ABOVE the user chain so a bootstrap
+    # refreshes back to the top of LogQ (reference "refresh to l_eff")
+    if p.boot:
+        n_circuit = (p.boot["CtSLevels"] + p.boot["StCLevels"]
+                     + p.boot["ModDepth"] + 2)
+        p.split_logq = p.split_logq + [p.logscale] * n_circuit
 
     split_logp = []
     for b in p.logp:

@@ -50,6 +50,12 @@ class Scheme:
             logscale=p.logscale, h=p.h, ring_type=p.ring_type, seed=p.seed)
         self.enc = Encoder(self.ctx)
         self.keys = KeyChest(self.ctx)
+        if p.io_mode == "load" and p.keys_path:
+            from .io import load_secret_key
+            load_secret_key(self, p.keys_path)
+        elif p.io_mode == "save" and p.keys_path:
+            from .io import save_secret_key
+            save_secret_key(self, p.keys_path)
         self.evaluator = Evaluator(self.ctx, self.keys)
         self.input_level_default = self.ctx.max_level
 

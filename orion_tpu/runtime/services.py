@@ -173,18 +173,32 @@ class PolyEvaluatorService:
 class BootstrapperService:
     """Per-slot-count bootstrappers (reference `bootstrapper.py`).
 
-    CKKS bootstrapping (CtS/EvalMod/StC) is the round-2 milestone; the
-    service exists so auto-placement and the API are complete."""
+    Sparse slot counts currently share the full-slot bootstrapper (correct —
+    unused slots are zeroed by the Bootstrap module's prescale — but without
+    the sparse speedup yet)."""
 
     def __init__(self, scheme):
         self.scheme = scheme
-        self.bootstrappers = {}
+        self.full = None
+
+    def _get_full(self):
+        from ..crypto.bootstrap import Bootstrapper
+        if self.full is None:
+            p = self.scheme.params
+            if not p.boot:
+                raise ValueError(
+                    "this network needs bootstrapping: add a `boot_params:` "
+                    "section to the config so circuit primes are provisioned")
+            self.full = Bootstrapper(
+                self.scheme,
+                cts_levels=p.boot["CtSLevels"],
+                stc_levels=p.boot["StCLevels"],
+                mod_degree=p.boot["ModDegree"],
+                K=p.boot["K"])
+        return self.full
 
     def generate_bootstrapper(self, slot_count):
-        raise NotImplementedError(
-            "CKKS bootstrapping is not implemented yet on the TPU backend; "
-            "choose parameters with enough levels (no bootstrap placement)")
+        return self._get_full()
 
     def bootstrap(self, ct, slots):
-        raise NotImplementedError(
-            "CKKS bootstrapping is not implemented yet on the TPU backend")
+        return self._get_full().bootstrap(ct, slots)

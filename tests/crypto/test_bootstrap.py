@@ -1,0 +1,83 @@
+"""CKKS bootstrapping correctness on small parameters.
+
+Oracle: bootstrap an exhausted ciphertext and compare decrypted values
+before/after — the refreshed ciphertext must carry the same message at the
+top of the user chain.
+"""
+
+import numpy as np
+import pytest
+
+import orion_tpu as orion
+
+CONFIG = {
+    "ckks_params": {
+        "LogN": 9,
+        "LogQ": [29, 26],          # single-prime q0: l_eff = 1
+        "LogP": [29, 29],
+        "LogScale": 26,
+        "H": 64,
+        "RingType": "Standard",
+    },
+    "boot_params": {
+        "CtSLevels": 3,
+        "StCLevels": 3,
+        "ModDegree": 255,
+        "K": 15,
+    },
+    "orion": {"margin": 2, "backend": "tpu", "fuse_modules": True},
+}
+
+RNG = np.random.default_rng(23)
+
+
+@pytest.fixture(scope="module")
+def scheme():
+    return orion.scheme.init_scheme(CONFIG)
+
+
+def test_mod_raise_roundtrip(scheme):
+    """ModRaise preserves the message (mod q0 values unchanged)."""
+    from orion_tpu.crypto.bootstrap import Bootstrapper
+    btp = scheme.bootstrapper.generate_bootstrapper(scheme.ctx.slots)
+    x = RNG.uniform(-1, 1, scheme.ctx.slots)
+    pt = scheme.encoder.encode(x, level=scheme.params.base_level)
+    ct = scheme.encryptor.encrypt(pt)
+    raised = btp.mod_raise(ct.cts[0])
+    assert raised.level == scheme.ctx.max_level
+    # decrypting the raised ct mod the BOTTOM prime still yields x
+    raw = scheme.keys.decrypt_rns(
+        np.asarray(raised.data).astype(np.int64))
+    got = scheme.enc.decode(raw[: scheme.params.base_level + 1],
+                            raised.scale)
+    np.testing.assert_allclose(got, x, atol=1e-2)
+
+
+def test_eval_mod_poly_quality():
+    from orion_tpu.crypto.bootstrap import fit_eval_mod
+    K = 15
+    coefs = fit_eval_mod(K, 255)
+    y = RNG.uniform(-1, 1, 4000)
+    got = np.polynomial.chebyshev.chebval(y, coefs)
+    want = np.sin(2 * np.pi * (K + 1) * y) / (2 * np.pi * (K + 1))
+    assert np.max(np.abs(got - want)) < 1e-9
+
+
+def test_full_bootstrap(scheme):
+    btp = scheme.bootstrapper.generate_bootstrapper(scheme.ctx.slots)
+    # message range 1/8 of q0/Delta headroom: the sine linearisation
+    # error stays below the noise floor (full-range messages need the
+    # double-prime-scale EvalMod, tracked for round 2)
+    x = RNG.uniform(-0.125, 0.125, scheme.ctx.slots)
+    # encrypt at the BOTTOM of the user chain (exhausted ciphertext)
+    pt = scheme.encoder.encode(x, level=scheme.params.base_level)
+    ct = scheme.encryptor.encrypt(pt)
+
+    out = btp.bootstrap(ct.cts[0])
+    assert out.level == scheme.params.base_level + scheme.params.l_eff
+
+    raw = scheme.keys.decrypt_rns(np.asarray(out.data).astype(np.int64))
+    got = scheme.enc.decode(raw, out.scale)
+    err = float(np.max(np.abs(got - x)))
+    print(f"bootstrap max err: {err}")
+    assert err < 2e-3
