@@ -171,27 +171,40 @@ def fbc(z, dg: DevDigit, tgt_p):
 #  Key switching                                                     #
 # ------------------------------------------------------------------ #
 
-def keyswitch(c_ntt, dl: DevLevel, ksk_data, ksk_shoup):
-    """Switch poly c (level+1, N, NTT domain) with a hybrid KSK.
+def ks_decompose(c_ntt, dl: DevLevel):
+    """Hoistable half of a key-switch: digit-decompose c and extend every
+    digit to the full basis.  Returns (dnum, n_t, N) in NTT domain.
 
-    ksk arrays: (dnum_full, 2, n_all, N); rows dl.ksk_rows are used.
-    Returns (2, level+1, N) in NTT domain (already ModDown'ed by P).
+    Automorphisms commute with decomposition (they are coefficient
+    permutations-with-signs, and FBC is coefficient-wise), so one
+    decomposition serves every rotation of the same ciphertext — the
+    hoisting trick behind fast BSGS (Lattigo parity).
     """
-    lvl = dl.level
     c_coeff = intt(c_ntt, dl.q_itw, dl.q_itw_shoup,
                    dl.q_ninv, dl.q_ninv_shoup, dl.q_p)
-    rows = jnp.asarray(np.array(dl.ksk_rows, np.int32))
-    acc0 = acc1 = None
-    for j, dg in enumerate(dl.digits):
+    exts = []
+    for dg in dl.digits:
         z = c_coeff[dg.src_lo:dg.src_hi]
         ext = fbc(z, dg, dl.t_p[:, None])
-        ext_ntt = ntt(ext, dl.t_tw, dl.t_tw_shoup, dl.t_p)
+        exts.append(ntt(ext, dl.t_tw, dl.t_tw_shoup, dl.t_p))
+    return jnp.stack(exts)
+
+
+def ks_finish(ext, dl: DevLevel, ksk_data, ksk_shoup):
+    """Inner-product the decomposed digits with a KSK and ModDown.
+
+    ext: (dnum, n_t, N); ksk arrays: (dnum_full, 2, n_all, N).
+    Returns (2, level+1, N) in NTT domain.
+    """
+    rows = jnp.asarray(np.array(dl.ksk_rows, np.int32))
+    acc0 = acc1 = None
+    for j in range(len(dl.digits)):
         k0 = ksk_data[j, 0][rows]
         k1 = ksk_data[j, 1][rows]
         k0s = ksk_shoup[j, 0][rows]
         k1s = ksk_shoup[j, 1][rows]
-        t0 = shoup_mul(ext_ntt, k0, k0s, dl.t_p[:, None])
-        t1 = shoup_mul(ext_ntt, k1, k1s, dl.t_p[:, None])
+        t0 = shoup_mul(ext[j], k0, k0s, dl.t_p[:, None])
+        t1 = shoup_mul(ext[j], k1, k1s, dl.t_p[:, None])
         if acc0 is None:
             acc0, acc1 = t0, t1
         else:
@@ -200,6 +213,11 @@ def keyswitch(c_ntt, dl: DevLevel, ksk_data, ksk_shoup):
     out0 = mod_down(acc0, dl)
     out1 = mod_down(acc1, dl)
     return jnp.stack([out0, out1])
+
+
+def keyswitch(c_ntt, dl: DevLevel, ksk_data, ksk_shoup):
+    """Switch poly c (level+1, N, NTT domain) with a hybrid KSK."""
+    return ks_finish(ks_decompose(c_ntt, dl), dl, ksk_data, ksk_shoup)
 
 
 def mod_down(x, dl: DevLevel):

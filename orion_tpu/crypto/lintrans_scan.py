@@ -26,17 +26,25 @@ import jax
 import jax.numpy as jnp
 
 from .ciphertext import Ciphertext, Plaintext
-from .keyswitch import dev_level, keyswitch
+from .keyswitch import dev_level, keyswitch, ks_decompose, ks_finish
 from .modops import add_mod, shoup_mul
 from .ops import Evaluator
 
 
 @dataclass
 class KeyPack:
-    """Stacked galois keys + NTT-domain permutations for rotation amounts."""
+    """Stacked galois keys + NTT-domain permutations for rotation amounts.
+
+    Keys are stored PRE-PERMUTED by the inverse automorphism, so a rotation
+    becomes: inner-product the (hoisted, unpermuted) decomposition with the
+    pre-permuted key, ModDown, then apply ONE small permutation to the
+    result:  rot_b(ct) = tau_b(c0 + MD(sum_j D_j tau_b^-1(k_j))).
+    This moves the gather off the large decomposition (dnum x n_t x N) onto
+    the (2 x L x N) output — the Lattigo-style hoisted-rotation layout.
+    """
     amounts: tuple
-    perms: jnp.ndarray       # (n, N) int32
-    ksk: jnp.ndarray         # (n, dnum, 2, n_all, N) uint32
+    perms: jnp.ndarray       # (n, N) int32 — forward permutation tau_b
+    ksk: jnp.ndarray         # (n, dnum, 2, n_all, N) uint32, tau_b^-1-applied
     ksk_shoup: jnp.ndarray
 
 
@@ -49,13 +57,16 @@ def build_key_pack(ev: Evaluator, amounts) -> KeyPack:
         cache = ev._key_packs = {}
     if amounts in cache:
         return cache[amounts]
+    two_n = 2 * ev.ctx.n
     perms, ks, kss = [], [], []
     for a in amounts:
         k = ev.ctx.galois_element(a)
         gk = ev.keys.galois_key(k)
         perms.append(ev.ctx.automorphism_perm(k))
-        ks.append(gk.data)
-        kss.append(gk.shoup)
+        inv_perm = jnp.asarray(
+            ev.ctx.automorphism_perm(pow(k, -1, two_n)))
+        ks.append(gk.data[..., inv_perm])
+        kss.append(gk.shoup[..., inv_perm])
     pack = KeyPack(
         amounts=amounts,
         perms=jnp.asarray(np.stack(perms)),
@@ -69,18 +80,23 @@ def build_key_pack(ev: Evaluator, amounts) -> KeyPack:
 def rotate_scan(ev: Evaluator, ct: Ciphertext, pack: KeyPack):
     """All rotations of ct for the pack's amounts via one scanned keyswitch.
 
+    The expensive digit decomposition (iNTT + basis conversion + NTTs) is
+    HOISTED: computed once for the ciphertext and permuted per rotation
+    inside the scan (automorphisms commute with decomposition).
+
     Returns uint32 (n_amounts, 2, L, N); amounts follow pack.amounts order.
     """
     if not pack.amounts:
         return jnp.zeros((0,) + ct.data.shape, jnp.uint32)
     dl = dev_level(ev.ctx, ct.level)
     qp = dl.q_p[:, None]
+    ext = ks_decompose(ct.data[1], dl)  # shared across all rotations
 
     def body(_, inp):
         perm, kd, kds = inp
-        cperm = ct.data[..., perm]
-        ks = keyswitch(cperm[1], dl, kd, kds)
-        rot = jnp.stack([add_mod(cperm[0], ks[0], qp), ks[1]])
+        ks = ks_finish(ext, dl, kd, kds)  # keys are pre-inverse-permuted
+        t0 = add_mod(ct.data[0], ks[0], qp)
+        rot = jnp.stack([t0, ks[1]])[..., perm]
         return None, rot
 
     _, rots = jax.lax.scan(body, None,
@@ -192,9 +208,9 @@ def eval_transform_scan(ev: Evaluator, tr: ScanTransform, ct: Ciphertext,
 
         def giant_body(carry, inp):
             acc_i, perm, kd, kds = inp
-            cperm = acc_i[..., perm]
-            ks = keyswitch(cperm[1], dl, kd, kds)
-            rot = jnp.stack([add_mod(cperm[0], ks[0], qp), ks[1]])
+            ks = keyswitch(acc_i[1], dl, kd, kds)  # keys pre-inverse-permuted
+            t0 = add_mod(acc_i[0], ks[0], qp)
+            rot = jnp.stack([t0, ks[1]])[..., perm]
             return add_mod(carry, rot, qp), None
 
         idx = [amount_to_slot[a] for _, a in nonzero_giants]
