@@ -200,6 +200,8 @@ class PallasNTT:
 
     def _call(self, kernel, a, limb_rows, extra_scalars, tw_list, sh_list,
               forward):
+        import jax
+        interpret = jax.default_backend() == "cpu"
         *batch, L, n = a.shape
         R = n // _LANE
         flat = a.reshape(-1, L, R, _LANE)
@@ -238,6 +240,7 @@ class PallasNTT:
                                    lambda i: (i // L, i % L, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, L, R, _LANE), jnp.uint32),
+            interpret=interpret,
         )(*args)
         return out.reshape(*batch, L, n)
 
