@@ -145,6 +145,15 @@ class Bootstrapper:
         # rotation + conjugation keys
         scheme.lt_evaluator.generate_rotation_keys(rotations)
         scheme.keys.galois_key(ctx.galois_element_conj())
+        # pre-build the KeyPacks evaluation will use (closure-free jit)
+        from .lintrans_scan import build_key_pack
+        for tr in self.cts_transforms + self.stc_transforms:
+            babies = [a for a in tr.babies if a != 0]
+            if babies:
+                build_key_pack(self.ev, babies)
+            giants = [a for a in tr.giants if a != 0]
+            if giants:
+                build_key_pack(self.ev, giants)
 
         # ModRaise tables: FBC from the bottom block to the full chain
         base_idx = list(range(p.base_level + 1))

@@ -106,6 +106,12 @@ def dev_level(ctx: CKKSContext, level: int) -> DevLevel:
     if level in cache:
         return cache[level]
 
+    import jax
+    with jax.ensure_compile_time_eval():
+        return _build_dev_level(ctx, level, cache)
+
+
+def _build_dev_level(ctx: CKKSContext, level: int, cache: dict) -> DevLevel:
     d = ctx.dev
     lt: LevelKSTables = ctx.ks_tables[level]
     nq_rows = list(range(level + 1))

@@ -58,21 +58,23 @@ def build_key_pack(ev: Evaluator, amounts) -> KeyPack:
     if amounts in cache:
         return cache[amounts]
     two_n = 2 * ev.ctx.n
-    perms, ks, kss = [], [], []
-    for a in amounts:
-        k = ev.ctx.galois_element(a)
-        gk = ev.keys.galois_key(k)
-        perms.append(ev.ctx.automorphism_perm(k))
-        inv_perm = jnp.asarray(
-            ev.ctx.automorphism_perm(pow(k, -1, two_n)))
-        ks.append(gk.data[..., inv_perm])
-        kss.append(gk.shoup[..., inv_perm])
-    pack = KeyPack(
-        amounts=amounts,
-        perms=jnp.asarray(np.stack(perms)),
-        ksk=jnp.stack(ks),
-        ksk_shoup=jnp.stack(kss),
-    )
+    # caches must hold concrete arrays even when first touched under jit
+    with jax.ensure_compile_time_eval():
+        perms, ks, kss = [], [], []
+        for a in amounts:
+            k = ev.ctx.galois_element(a)
+            gk = ev.keys.galois_key(k)
+            perms.append(ev.ctx.automorphism_perm(k))
+            inv_perm = jnp.asarray(
+                ev.ctx.automorphism_perm(pow(k, -1, two_n)))
+            ks.append(gk.data[..., inv_perm])
+            kss.append(gk.shoup[..., inv_perm])
+        pack = KeyPack(
+            amounts=amounts,
+            perms=jnp.asarray(np.stack(perms)),
+            ksk=jnp.stack(ks),
+            ksk_shoup=jnp.stack(kss),
+        )
     cache[amounts] = pack
     return pack
 

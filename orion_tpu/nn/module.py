@@ -113,7 +113,13 @@ class Module(ABC):
         tr = active_tracer()
         if tr is not None and self.is_leaf():
             return tr.run_leaf(self, args)
-        out = self.forward(*args)
+        runner = (getattr(self.scheme, "module_runner", None)
+                  if self.he_mode and self.scheme is not None else None)
+        if runner is not None and self.is_leaf() and \
+                any(hasattr(a, "cts") for a in args):
+            out = runner(self, args)
+        else:
+            out = self.forward(*args)
         pb = getattr(self, "post_bootstrap", None)
         if pb is not None and self.he_mode:
             out = pb(out)

@@ -67,14 +67,18 @@ class Bootstrap(Module):
         curr_slots = 2 ** math.ceil(math.log2(elements))
         vec = np.zeros(curr_slots)
         vec[:elements] = self.prescale
-        ql = self.scheme.encoder.get_moduli_chain()[self.input_level]
+        # normalise to the level just above the modulus floor so every
+        # Bootstrap shares one compiled program signature (mod-drop is free)
+        self.norm_level = self.scheme.params.base_level + 1
+        ql = self.scheme.encoder.get_moduli_chain()[self.norm_level]
         self.prescale_ptxt = self.scheme.encoder.encode(
-            vec, level=self.input_level, scale=float(ql))
+            vec, level=self.norm_level, scale=float(ql))
 
     @timer
     def forward(self, x):
         if not self.he_mode:
             return x
+        x = x.mod_drop(self.norm_level)
         if self.constant != 0:
             x = x + self.constant
         x = x * self.prescale_ptxt

@@ -1,0 +1,97 @@
+"""Device-buffer collection for closure-free jit.
+
+The axon tunnel's remote compiler rejects programs whose serialized
+constants are too large (HTTP 413), and embedding gigabytes of packed
+diagonals/rotation keys as XLA constants is wasteful everywhere.  This
+module discovers every large device buffer a module's encrypted forward can
+touch and exposes swap handles so the jit wrapper can pass them as ARGUMENTS
+(traced leaves) instead of captured constants: during tracing the owners'
+attributes are temporarily replaced with tracers, then restored.
+"""
+
+from __future__ import annotations
+
+from ..crypto.ciphertext import Plaintext
+from .tensors import PlainTensor
+
+
+class Swappable:
+    """One big buffer: get() the concrete array, set()/restore() around
+    tracing."""
+
+    __slots__ = ("getter", "setter", "_saved")
+
+    def __init__(self, getter, setter):
+        self.getter = getter
+        self.setter = setter
+        self._saved = None
+
+    def save_and_set(self, value):
+        self._saved = self.getter()
+        self.setter(value)
+
+    def restore(self):
+        self.setter(self._saved)
+        self._saved = None
+
+
+def _attr_swap(obj, attr):
+    return Swappable(lambda: getattr(obj, attr),
+                     lambda v: setattr(obj, attr, v))
+
+
+def _plaintensor_swaps(ptensor: PlainTensor):
+    out = []
+    for i, pt in enumerate(ptensor.plaintexts):
+        def make(i=i, field="data"):
+            def getter(f=field, i=i):
+                return getattr(ptensor.plaintexts[i], f)
+
+            def setter(v, f=field, i=i):
+                ptensor.plaintexts[i] = ptensor.plaintexts[i].with_(**{f: v})
+            return Swappable(getter, setter)
+        out.append(make(i, "data"))
+        if pt.shoup is not None:
+            out.append(make(i, "shoup"))
+    return out
+
+
+def _scan_transform_swaps(tr):
+    return [_attr_swap(tr, "pts"), _attr_swap(tr, "pts_shoup")]
+
+
+def _key_pack_swaps(pack):
+    return [_attr_swap(pack, "ksk"), _attr_swap(pack, "ksk_shoup")]
+
+
+def _ksk_swaps(ksk):
+    return [_attr_swap(ksk, "data"), _attr_swap(ksk, "shoup")]
+
+
+def collect_swappables(scheme, module) -> list[Swappable]:
+    """Everything the module's he-forward may read that is large."""
+    out = []
+
+    # module-held plaintexts (bias, BN constants, bootstrap prescale)
+    for name, val in list(vars(module).items()):
+        if isinstance(val, PlainTensor):
+            out.extend(_plaintensor_swaps(val))
+    # compiled linear transforms
+    for tr in getattr(module, "compiled", {}).values():
+        out.extend(_scan_transform_swaps(tr))
+
+    # global key material (shared across modules; passing all of it keeps
+    # the collection logic simple — args are device pointers, not copies)
+    keys = scheme.keys
+    out.extend(_ksk_swaps(keys.relin_key))
+    for gk in keys.galois_keys.values():
+        out.extend(_ksk_swaps(gk))
+    for pack in getattr(scheme.evaluator, "_key_packs", {}).values():
+        out.extend(_key_pack_swaps(pack))
+
+    # bootstrapper transforms (Bootstrap modules route through these)
+    btp = getattr(scheme.bootstrapper, "full", None)
+    if btp is not None:
+        for tr in list(btp.cts_transforms) + list(btp.stc_transforms):
+            out.extend(_scan_transform_swaps(tr))
+    return out

@@ -49,3 +49,81 @@ def make_jitted_forward(net, scheme):
         return CipherTensor(scheme, cts, shape, on_shape)
 
     return run
+
+
+def make_module_runner(scheme):
+    """Per-leaf-module jit: each layer compiles to its own cached XLA
+    program keyed by (module, ciphertext signature).
+
+    For deep bootstrapped networks a single whole-network program would be
+    millions of HLO ops; per-module programs stay bounded and REPEATED
+    structures (e.g. every Bootstrap after level normalisation, repeated
+    ResNet blocks at equal levels) share cache entries.
+
+    All large device buffers (packed diagonals, key material, module
+    plaintexts) are passed as jit ARGUMENTS via swap-during-trace
+    (runtime/buffers.py) so programs carry shapes, not gigabytes of
+    constants — required by the remote-compile transport and healthy
+    everywhere.
+    """
+    from .buffers import collect_swappables
+
+    cache = {}
+    swaps_by_module = {}
+
+    def run(module, args):
+        spec = []
+        flat = []
+        for a in args:
+            if isinstance(a, CipherTensor):
+                spec.append(("ct",
+                             tuple((c.level, c.scale) for c in a.cts),
+                             tuple(a.shape), tuple(a.on_shape)))
+                flat.extend(c.data for c in a.cts)
+            else:
+                spec.append(("static", a))
+        if id(module) not in swaps_by_module:
+            swaps_by_module[id(module)] = collect_swappables(scheme, module)
+        swaps = swaps_by_module[id(module)]
+        key = (id(module), tuple(spec))
+        if key not in cache:
+            side = {}
+
+            def fn(flat_datas, bufs, _spec=tuple(spec), _module=module,
+                   _side=side, _swaps=swaps):
+                for sw, v in zip(_swaps, bufs):
+                    sw.save_and_set(v)
+                try:
+                    it = iter(flat_datas)
+                    rebuilt = []
+                    for s in _spec:
+                        if s[0] == "ct":
+                            cts = [Ciphertext(next(it), lv, sc)
+                                   for (lv, sc) in s[1]]
+                            rebuilt.append(
+                                CipherTensor(scheme, cts, s[2], s[3]))
+                        else:
+                            rebuilt.append(s[1])
+                    out = _module.forward(*rebuilt)
+                finally:
+                    for sw in _swaps:
+                        sw.restore()
+                _side["meta"] = ([c.level for c in out.cts],
+                                 [c.scale for c in out.cts],
+                                 out.shape, out.on_shape)
+                return [c.data for c in out.cts]
+
+            cache[key] = (jax.jit(fn), side)
+        jf, side = cache[key]
+        outs = jf(flat, [sw.getter() for sw in swaps])
+        lv, sc, shape, on_shape = side["meta"]
+        cts = [Ciphertext(d, l, s) for d, l, s in zip(outs, lv, sc)]
+        return CipherTensor(scheme, cts, shape, on_shape)
+
+    return run
+
+
+def enable_module_jit(scheme):
+    """Switch the scheme's encrypted forwards to per-module jit."""
+    scheme.module_runner = make_module_runner(scheme)
+    return scheme.module_runner

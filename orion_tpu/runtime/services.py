@@ -120,7 +120,24 @@ class LTEvaluatorService:
             rotations.add(ctx.slots // (2 ** i))
         self.generate_rotation_keys(rotations)
         layer.compiled = compiled
+        self._prewarm_key_packs(compiled)
         return compiled
+
+    def _prewarm_key_packs(self, compiled):
+        """Build the exact KeyPacks evaluation will request, at compile time,
+        so the jit wrapper can pass them as arguments (closure-free)."""
+        from ..crypto import lintrans_scan
+        ev = self.scheme.evaluator
+        cols = {}
+        for (i, j), tr in compiled.items():
+            cols.setdefault(j, set()).update(set(tr.babies) | {0})
+            giants = [a for a in tr.giants if a != 0]
+            if giants:
+                lintrans_scan.build_key_pack(ev, giants)
+        for j, babies in cols.items():
+            todo = [a for a in sorted(babies) if a != 0]
+            if todo:
+                lintrans_scan.build_key_pack(ev, todo)
 
     def generate_rotation_keys(self, rotations):
         new = set(rotations) - self.generated_rotations
