@@ -205,8 +205,36 @@ class Scheme:
                 if pb is not None:
                     pb.compile()
 
+        self._trim_key_memory(net)
         self.input_level = input_level
         return input_level
+
+    def _trim_key_memory(self, net):
+        """Free original galois keys whose rotations live on inside
+        pre-permuted KeyPacks (SURVEY hard part #3: rotation-key HBM).
+
+        Keys still needed in original form: conjugation and the hybrid
+        embedding's output rotations (CipherTensor.roll path).  Anything
+        else is evaluated through KeyPacks; if an unexpected rotation shows
+        up later the KeyChest simply regenerates the key lazily.
+        """
+        keep = {self.ctx.galois_element_conj()}
+        for module in net.modules():
+            for i in range(1, getattr(module, "output_rotations", 0) + 1):
+                amt = self.ctx.slots // (2 ** i)
+                keep.add(self.ctx.galois_element(amt))
+        packed = set()
+        for pack in getattr(self.evaluator, "_key_packs", {}).values():
+            for a in pack.amounts:
+                packed.add(self.ctx.galois_element(a))
+        dropped = 0
+        for k in list(self.keys.galois_keys):
+            if k in packed and k not in keep:
+                del self.keys.galois_keys[k]
+                dropped += 1
+        if dropped:
+            print(f"|-- freed {dropped} original rotation keys "
+                  "(retained in pre-permuted packs)", flush=True)
 
     def _check_init(self):
         if self.ctx is None:
