@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .context import CKKSContext, DigitTables, LevelKSTables
-from .modops import add_mod, shoup_mul, sub_mod
+from .modops import add_mod, mul_mod, shoup_mul, sub_mod
 from .ntt import intt, ntt
 
 
@@ -62,6 +62,9 @@ class DevLevel:
     q_ninv_shoup: jnp.ndarray
     # extended-basis tables (rows 0..level + specials)
     t_p: jnp.ndarray
+    t_pinv: jnp.ndarray
+    t_rmod: jnp.ndarray
+    t_rshoup: jnp.ndarray
     t_tw: jnp.ndarray
     t_tw_shoup: jnp.ndarray
     # special-prime tables
@@ -134,7 +137,11 @@ def _build_dev_level(ctx: CKKSContext, level: int, cache: dict) -> DevLevel:
         q_tw_shoup=rows(d["tw_shoup"], nq_rows),
         q_itw=rows(d["itw"], nq_rows), q_itw_shoup=rows(d["itw_shoup"], nq_rows),
         q_ninv=rows(d["ninv"], nq_rows), q_ninv_shoup=rows(d["ninv_shoup"], nq_rows),
-        t_p=rows(d["p"], t_rows), t_tw=rows(d["tw"], t_rows),
+        t_p=rows(d["p"], t_rows),
+        t_pinv=rows(d["pinv"], t_rows),
+        t_rmod=rows(d["r_mod"], t_rows),
+        t_rshoup=rows(d["r_shoup"], t_rows),
+        t_tw=rows(d["tw"], t_rows),
         t_tw_shoup=rows(d["tw_shoup"], t_rows),
         s_p=rows(d["p"], sp_rows), s_itw=rows(d["itw"], sp_rows),
         s_itw_shoup=rows(d["itw_shoup"], sp_rows),
@@ -196,29 +203,41 @@ def ks_decompose(c_ntt, dl: DevLevel):
     return jnp.stack(exts)
 
 
-def ks_finish(ext, dl: DevLevel, ksk_data, ksk_shoup):
+def ks_finish(ext, dl: DevLevel, ksk_data, ksk_shoup=None):
     """Inner-product the decomposed digits with a KSK and ModDown.
 
     ext: (dnum, n_t, N); ksk arrays: (dnum_full, 2, n_all, N).
+    With ksk_shoup=None (lean-key mode) the product uses a Montgomery lift
+    instead of precomputed Shoup companions — ~2.5x more multiplies in the
+    inner product (a small share of a key-switch) for HALF the key HBM.
     Returns (2, level+1, N) in NTT domain.
     """
     rows = jnp.asarray(np.array(dl.ksk_rows, np.int32))
+    tp = dl.t_p[:, None]
     acc0 = acc1 = None
     for j in range(len(dl.digits)):
         k0 = ksk_data[j, 0][rows]
         k1 = ksk_data[j, 1][rows]
-        k0s = ksk_shoup[j, 0][rows]
-        k1s = ksk_shoup[j, 1][rows]
-        t0 = shoup_mul(ext[j], k0, k0s, dl.t_p[:, None])
-        t1 = shoup_mul(ext[j], k1, k1s, dl.t_p[:, None])
+        if ksk_shoup is not None:
+            t0 = shoup_mul(ext[j], k0, ksk_shoup[j, 0][rows], tp)
+            t1 = shoup_mul(ext[j], k1, ksk_shoup[j, 1][rows], tp)
+        else:
+            pinv = dl.t_pinv[:, None]
+            rm, rs = dl.t_rmod[:, None], dl.t_rshoup[:, None]
+            t0 = mul_mod(ext[j], k0, tp, pinv, rm, rs)
+            t1 = mul_mod(ext[j], k1, tp, pinv, rm, rs)
         if acc0 is None:
             acc0, acc1 = t0, t1
         else:
-            acc0 = add_mod(acc0, t0, dl.t_p[:, None])
-            acc1 = add_mod(acc1, t1, dl.t_p[:, None])
+            acc0 = add_mod(acc0, t0, tp)
+            acc1 = add_mod(acc1, t1, tp)
     out0 = mod_down(acc0, dl)
     out1 = mod_down(acc1, dl)
     return jnp.stack([out0, out1])
+
+
+def keyswitch_lean(c_ntt, dl: DevLevel, ksk_data):
+    return ks_finish(ks_decompose(c_ntt, dl), dl, ksk_data, None)
 
 
 def keyswitch(c_ntt, dl: DevLevel, ksk_data, ksk_shoup):

@@ -49,7 +49,11 @@ class KeyPack:
 
 
 def build_key_pack(ev: Evaluator, amounts) -> KeyPack:
-    """Stack keys for the given rotation amounts (cached on the evaluator)."""
+    """Stack keys for the given rotation amounts (cached on the evaluator).
+
+    With ev.lean_keys the Shoup companions are dropped (ksk_shoup=None) and
+    evaluation lifts via Montgomery — half the key HBM for deep chains.
+    """
     amounts = tuple(sorted(set(int(a) % ev.ctx.slots for a in amounts)
                            - {0}))
     cache = getattr(ev, "_key_packs", None)
@@ -58,6 +62,7 @@ def build_key_pack(ev: Evaluator, amounts) -> KeyPack:
     if amounts in cache:
         return cache[amounts]
     two_n = 2 * ev.ctx.n
+    lean = bool(getattr(ev, "lean_keys", False))
     # caches must hold concrete arrays even when first touched under jit
     with jax.ensure_compile_time_eval():
         perms, ks, kss = [], [], []
@@ -68,12 +73,13 @@ def build_key_pack(ev: Evaluator, amounts) -> KeyPack:
             inv_perm = jnp.asarray(
                 ev.ctx.automorphism_perm(pow(k, -1, two_n)))
             ks.append(gk.data[..., inv_perm])
-            kss.append(gk.shoup[..., inv_perm])
+            if not lean:
+                kss.append(gk.shoup[..., inv_perm])
         pack = KeyPack(
             amounts=amounts,
             perms=jnp.asarray(np.stack(perms)),
             ksk=jnp.stack(ks),
-            ksk_shoup=jnp.stack(kss),
+            ksk_shoup=None if lean else jnp.stack(kss),
         )
     cache[amounts] = pack
     return pack
@@ -93,16 +99,22 @@ def rotate_scan(ev: Evaluator, ct: Ciphertext, pack: KeyPack):
     dl = dev_level(ev.ctx, ct.level)
     qp = dl.q_p[:, None]
     ext = ks_decompose(ct.data[1], dl)  # shared across all rotations
+    lean = pack.ksk_shoup is None
 
     def body(_, inp):
-        perm, kd, kds = inp
+        if lean:
+            perm, kd = inp
+            kds = None
+        else:
+            perm, kd, kds = inp
         ks = ks_finish(ext, dl, kd, kds)  # keys are pre-inverse-permuted
         t0 = add_mod(ct.data[0], ks[0], qp)
         rot = jnp.stack([t0, ks[1]])[..., perm]
         return None, rot
 
-    _, rots = jax.lax.scan(body, None,
-                           (pack.perms, pack.ksk, pack.ksk_shoup))
+    xs = ((pack.perms, pack.ksk) if lean
+          else (pack.perms, pack.ksk, pack.ksk_shoup))
+    _, rots = jax.lax.scan(body, None, xs)
     return rots
 
 
@@ -208,21 +220,27 @@ def eval_transform_scan(ev: Evaluator, tr: ScanTransform, ct: Ciphertext,
         pack = build_key_pack(ev, [a for _, a in nonzero_giants])
         amount_to_slot = {a: s for s, a in enumerate(pack.amounts)}
 
+        lean = pack.ksk_shoup is None
+
         def giant_body(carry, inp):
-            acc_i, perm, kd, kds = inp
-            ks = keyswitch(acc_i[1], dl, kd, kds)  # keys pre-inverse-permuted
+            if lean:
+                acc_i, perm, kd = inp
+                kds = None
+            else:
+                acc_i, perm, kd, kds = inp
+            ks = ks_finish(ks_decompose(acc_i[1], dl), dl, kd, kds)
             t0 = add_mod(acc_i[0], ks[0], qp)
             rot = jnp.stack([t0, ks[1]])[..., perm]
             return add_mod(carry, rot, qp), None
 
-        idx = [amount_to_slot[a] for _, a in nonzero_giants]
+        idx = jnp.asarray(np.array(
+            [amount_to_slot[a] for _, a in nonzero_giants], np.int32))
         sel = jnp.asarray(np.array([i for i, _ in nonzero_giants], np.int32))
         carry0 = out if out is not None else jnp.zeros_like(acc[0])
-        out, _ = jax.lax.scan(
-            giant_body, carry0,
-            (acc[sel], pack.perms[jnp.asarray(np.array(idx, np.int32))],
-             pack.ksk[jnp.asarray(np.array(idx, np.int32))],
-             pack.ksk_shoup[jnp.asarray(np.array(idx, np.int32))]))
+        xs = ((acc[sel], pack.perms[idx], pack.ksk[idx]) if lean
+              else (acc[sel], pack.perms[idx], pack.ksk[idx],
+                    pack.ksk_shoup[idx]))
+        out, _ = jax.lax.scan(giant_body, carry0, xs)
     if out is None:
         raise ValueError("empty transform")
     return Ciphertext(out, ct.level, ct.scale * tr.pt_scale)

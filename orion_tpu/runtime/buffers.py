@@ -61,7 +61,10 @@ def _scan_transform_swaps(tr):
 
 
 def _key_pack_swaps(pack):
-    return [_attr_swap(pack, "ksk"), _attr_swap(pack, "ksk_shoup")]
+    out = [_attr_swap(pack, "ksk")]
+    if pack.ksk_shoup is not None:
+        out.append(_attr_swap(pack, "ksk_shoup"))
+    return out
 
 
 def _ksk_swaps(ksk):

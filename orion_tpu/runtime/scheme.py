@@ -57,6 +57,9 @@ class Scheme:
             from .io import save_secret_key
             save_secret_key(self, p.keys_path)
         self.evaluator = Evaluator(self.ctx, self.keys)
+        # deep bootstrapped chains: halve rotation-key HBM (Montgomery lift
+        # in the key inner product instead of stored Shoup companions)
+        self.evaluator.lean_keys = bool(p.boot)
         self.input_level_default = self.ctx.max_level
 
         self.encoder = EncoderService(self)
