@@ -75,8 +75,10 @@ class Bootstrapper:
                                 dtype=np.float64))
         delta = ctx.default_scale
 
-        # hi-scale EvalMod: two rescales per multiplication level
-        mod_depth = 2 * int(math.ceil(math.log2(mod_degree + 1)))
+        # hi-scale EvalMod: two rescales per multiplication level (+1 for
+        # the chunked-PS coefficient multiply at realistic degrees)
+        from .polyeval import hi_scale_depth
+        mod_depth = hi_scale_depth(mod_degree)
         need = cts_levels + 1 + mod_depth + 1 + stc_levels
         budget = self.top - self.user_top
         if budget < need:
@@ -145,15 +147,30 @@ class Bootstrapper:
         # rotation + conjugation keys
         scheme.lt_evaluator.generate_rotation_keys(rotations)
         scheme.keys.galois_key(ctx.galois_element_conj())
-        # pre-build the KeyPacks evaluation will use (closure-free jit)
-        from .lintrans_scan import build_key_pack
+        # pre-build the level-trimmed KeyPacks evaluation will use
+        # (closure-free jit); record cache keys for scoped buffer collection
+        self.pack_keys = set()
         for tr in self.cts_transforms + self.stc_transforms:
             babies = [a for a in tr.babies if a != 0]
             if babies:
-                build_key_pack(self.ev, babies)
+                pk = build_key_pack(self.ev, babies, level=tr.level)
+                self.pack_keys.add(pk.cache_key)
             giants = [a for a in tr.giants if a != 0]
             if giants:
-                build_key_pack(self.ev, giants)
+                pk = build_key_pack(self.ev, giants, level=tr.level)
+                self.pack_keys.add(pk.cache_key)
+        self.pack_keys = tuple(sorted(
+            self.pack_keys, key=lambda k: (k[0], -1 if k[1] is None else k[1])))
+
+        # conjugation-split constants, pre-encoded so the jitted circuit
+        # carries them as swapped arguments rather than baked XLA constants.
+        # mod_depth is an upper BOUND on EvalMod's consumption (the chunked
+        # evaluator may finish a level higher depending on which babies the
+        # coefficient pattern touches); bootstrap() mod-drops to this
+        # planned level so the pre-encoded constants always align.
+        self.lvl_mod_out = self.lvl_after_cts - 1 - mod_depth
+        self.minus_i_pt = self._make_const_pt(-1.0j, self.lvl_after_cts)
+        self.plus_i_pt = self._make_const_pt(1.0j, self.lvl_mod_out)
 
         # ModRaise tables: FBC from the bottom block to the full chain
         base_idx = list(range(p.base_level + 1))
@@ -186,17 +203,16 @@ class Bootstrapper:
             ct = ev.rescale(eval_transform_scan(ev, tr, ct, rots))
         return ct
 
-    def _mul_const_vec(self, ct: Ciphertext, value: complex) -> Ciphertext:
-        """Multiply by a constant complex vector encoded at scale q_l
-        (errorless level consumption)."""
+    def _make_const_pt(self, value: complex, level: int) -> Plaintext:
+        """Constant complex vector encoded at scale q_l (errorless level
+        consumption), built once at compile time."""
         import jax.numpy as jnp
-        ql = float(self.ctx.q_primes[ct.level])
+        ql = float(self.ctx.q_primes[level])
         vec = np.full(self.n, value, dtype=np.complex128)
         data, shoup, scale = self.enc.encode(
-            vec, level=ct.level, scale=ql, with_shoup=True)
-        pt = Plaintext(jnp.asarray(data.astype(np.uint32)),
-                       jnp.asarray(shoup), ct.level, scale)
-        return self.ev.mul_plain(ct, pt)
+            vec, level=level, scale=ql, with_shoup=True)
+        return Plaintext(jnp.asarray(data.astype(np.uint32)),
+                         jnp.asarray(shoup), level, scale)
 
     def bootstrap(self, ct: Ciphertext, slots: int | None = None) -> Ciphertext:
         """Refresh an exhausted ciphertext to the top of the user chain."""
@@ -214,14 +230,16 @@ class Bootstrapper:
         t_conj = ev.conjugate(t)
         u = ev.add(t, t_conj)                       # 2*Re = c_a terms (x0.5 folded)
         diff = ev.sub(t, t_conj)
-        v = self._mul_const_vec(diff, -1.0j)        # Im part (0.5 folded in CtS)
+        v = ev.mul_plain(diff, self.minus_i_pt)     # Im part (0.5 folded in CtS)
 
-        # EvalMod on both halves at the Delta^2 working scale
+        # EvalMod on both halves at the Delta^2 working scale; align to the
+        # planned output level (free drops absorb the depth-bound slack)
         u = evaluate_polynomial(ev, u, self.mod_poly, hi_scale=True)
         v = evaluate_polynomial(ev, v, self.mod_poly, hi_scale=True)
+        v = ev.mod_drop(v, self.lvl_mod_out)
 
         # recombine a0 = u + i v and run StC
-        iv = self._mul_const_vec(v, 1.0j)
+        iv = ev.mul_plain(v, self.plus_i_pt)
         a0 = ev.add(ev.mod_drop(u, iv.level), iv)
         out = self._apply_chain(a0, self.stc_transforms)
         return out.with_(scale=ct.scale)

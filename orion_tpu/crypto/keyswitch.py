@@ -203,24 +203,33 @@ def ks_decompose(c_ntt, dl: DevLevel):
     return jnp.stack(exts)
 
 
-def ks_finish(ext, dl: DevLevel, ksk_data, ksk_shoup=None):
+def ks_finish(ext, dl: DevLevel, ksk_data, ksk_shoup=None, trimmed=False):
     """Inner-product the decomposed digits with a KSK and ModDown.
 
-    ext: (dnum, n_t, N); ksk arrays: (dnum_full, 2, n_all, N).
+    ext: (dnum, n_t, N); ksk arrays: (dnum_full, 2, n_all, N), or — with
+    trimmed=True — already sliced to this level's digits and prime rows
+    (dnum, 2, n_t, N), the level-aware KeyPack layout that keeps low-level
+    rotation keys small in HBM.
     With ksk_shoup=None (lean-key mode) the product uses a Montgomery lift
     instead of precomputed Shoup companions — ~2.5x more multiplies in the
     inner product (a small share of a key-switch) for HALF the key HBM.
     Returns (2, level+1, N) in NTT domain.
     """
-    rows = jnp.asarray(np.array(dl.ksk_rows, np.int32))
+    rows = None if trimmed else jnp.asarray(np.array(dl.ksk_rows, np.int32))
     tp = dl.t_p[:, None]
     acc0 = acc1 = None
     for j in range(len(dl.digits)):
-        k0 = ksk_data[j, 0][rows]
-        k1 = ksk_data[j, 1][rows]
+        if trimmed:
+            k0 = ksk_data[j, 0]
+            k1 = ksk_data[j, 1]
+        else:
+            k0 = ksk_data[j, 0][rows]
+            k1 = ksk_data[j, 1][rows]
         if ksk_shoup is not None:
-            t0 = shoup_mul(ext[j], k0, ksk_shoup[j, 0][rows], tp)
-            t1 = shoup_mul(ext[j], k1, ksk_shoup[j, 1][rows], tp)
+            s0 = ksk_shoup[j, 0] if trimmed else ksk_shoup[j, 0][rows]
+            s1 = ksk_shoup[j, 1] if trimmed else ksk_shoup[j, 1][rows]
+            t0 = shoup_mul(ext[j], k0, s0, tp)
+            t1 = shoup_mul(ext[j], k1, s1, tp)
         else:
             pinv = dl.t_pinv[:, None]
             rm, rs = dl.t_rmod[:, None], dl.t_rshoup[:, None]

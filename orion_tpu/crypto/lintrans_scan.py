@@ -46,23 +46,36 @@ class KeyPack:
     perms: jnp.ndarray       # (n, N) int32 — forward permutation tau_b
     ksk: jnp.ndarray         # (n, dnum, 2, n_all, N) uint32, tau_b^-1-applied
     ksk_shoup: jnp.ndarray
+    level: int | None = None  # if set, ksk is trimmed to this level's rows
+    cache_key: tuple = None
 
 
-def build_key_pack(ev: Evaluator, amounts) -> KeyPack:
+def build_key_pack(ev: Evaluator, amounts, level: int | None = None) -> KeyPack:
     """Stack keys for the given rotation amounts (cached on the evaluator).
+
+    With `level` given, keys are TRIMMED to that level's digit count and
+    prime rows — (dnum_l, 2, level+1+n_sp, N) instead of the full-chain
+    (dnum, 2, n_all, N) — which is the dominant HBM saving for deep
+    bootstrapped networks whose layers run far below the chain top.
 
     With ev.lean_keys the Shoup companions are dropped (ksk_shoup=None) and
     evaluation lifts via Montgomery — half the key HBM for deep chains.
     """
     amounts = tuple(sorted(set(int(a) % ev.ctx.slots for a in amounts)
                            - {0}))
+    key = (amounts, level)
     cache = getattr(ev, "_key_packs", None)
     if cache is None:
         cache = ev._key_packs = {}
-    if amounts in cache:
-        return cache[amounts]
+    if key in cache:
+        return cache[key]
     two_n = 2 * ev.ctx.n
     lean = bool(getattr(ev, "lean_keys", False))
+    if level is not None:
+        from .keyswitch import dev_level
+        dl = dev_level(ev.ctx, level)
+        dnum_l = len(dl.digits)
+        rows = np.array(dl.ksk_rows, np.int32)
     # caches must hold concrete arrays even when first touched under jit
     with jax.ensure_compile_time_eval():
         perms, ks, kss = [], [], []
@@ -72,16 +85,23 @@ def build_key_pack(ev: Evaluator, amounts) -> KeyPack:
             perms.append(ev.ctx.automorphism_perm(k))
             inv_perm = jnp.asarray(
                 ev.ctx.automorphism_perm(pow(k, -1, two_n)))
-            ks.append(gk.data[..., inv_perm])
+            kd, ksd = gk.data, gk.shoup
+            if level is not None:
+                kd = jnp.take(kd[:dnum_l], rows, axis=2)
+                if not lean:
+                    ksd = jnp.take(ksd[:dnum_l], rows, axis=2)
+            ks.append(kd[..., inv_perm])
             if not lean:
-                kss.append(gk.shoup[..., inv_perm])
+                kss.append(ksd[..., inv_perm])
         pack = KeyPack(
             amounts=amounts,
             perms=jnp.asarray(np.stack(perms)),
             ksk=jnp.stack(ks),
             ksk_shoup=None if lean else jnp.stack(kss),
+            level=level,
+            cache_key=key,
         )
-    cache[amounts] = pack
+    cache[key] = pack
     return pack
 
 
@@ -96,10 +116,14 @@ def rotate_scan(ev: Evaluator, ct: Ciphertext, pack: KeyPack):
     """
     if not pack.amounts:
         return jnp.zeros((0,) + ct.data.shape, jnp.uint32)
+    if pack.level is not None and pack.level != ct.level:
+        raise ValueError(
+            f"KeyPack trimmed to level {pack.level} used at level {ct.level}")
     dl = dev_level(ev.ctx, ct.level)
     qp = dl.q_p[:, None]
     ext = ks_decompose(ct.data[1], dl)  # shared across all rotations
     lean = pack.ksk_shoup is None
+    trimmed = pack.level is not None
 
     def body(_, inp):
         if lean:
@@ -107,7 +131,8 @@ def rotate_scan(ev: Evaluator, ct: Ciphertext, pack: KeyPack):
             kds = None
         else:
             perm, kd, kds = inp
-        ks = ks_finish(ext, dl, kd, kds)  # keys are pre-inverse-permuted
+        # keys are pre-inverse-permuted
+        ks = ks_finish(ext, dl, kd, kds, trimmed=trimmed)
         t0 = add_mod(ct.data[0], ks[0], qp)
         rot = jnp.stack([t0, ks[1]])[..., perm]
         return None, rot
@@ -217,10 +242,12 @@ def eval_transform_scan(ev: Evaluator, tr: ScanTransform, ct: Ciphertext,
     if tr.giants and tr.giants[0] == 0:
         out = acc[0]
     if nonzero_giants:
-        pack = build_key_pack(ev, [a for _, a in nonzero_giants])
+        pack = build_key_pack(ev, [a for _, a in nonzero_giants],
+                              level=ct.level)
         amount_to_slot = {a: s for s, a in enumerate(pack.amounts)}
 
         lean = pack.ksk_shoup is None
+        trimmed = pack.level is not None
 
         def giant_body(carry, inp):
             if lean:
@@ -228,7 +255,8 @@ def eval_transform_scan(ev: Evaluator, tr: ScanTransform, ct: Ciphertext,
                 kds = None
             else:
                 acc_i, perm, kd, kds = inp
-            ks = ks_finish(ks_decompose(acc_i[1], dl), dl, kd, kds)
+            ks = ks_finish(ks_decompose(acc_i[1], dl), dl, kd, kds,
+                           trimmed=trimmed)
             t0 = add_mod(acc_i[0], ks[0], qp)
             rot = jnp.stack([t0, ks[1]])[..., perm]
             return add_mod(carry, rot, qp), None
@@ -253,7 +281,7 @@ def baby_rotation_cache(ev: Evaluator, ct: Ciphertext,
     cache = {0: ct.data}
     todo = [a for a in amounts if a != 0]
     if todo:
-        pack = build_key_pack(ev, todo)
+        pack = build_key_pack(ev, todo, level=ct.level)
         rots = rotate_scan(ev, ct, pack)
         for slot, a in enumerate(pack.amounts):
             cache[a] = rots[slot]

@@ -21,6 +21,15 @@ so each multiply-then-rescale lands on `target` to float precision — the TPU
 rendition of the reference's errorless-rescale discipline.  An optional
 `output_scale` pins the result scale (used by `_Sign`,
 `orion/nn/activation.py:243-259`).
+
+Large polynomials (degree >= _BSGS_MIN_DEGREE, i.e. bootstrap EvalMod) stop
+the recursion at baby-step chunks of size k ~ sqrt(degree) evaluated as
+direct coefficient sums over the cached Chebyshev babies (classic
+Paterson–Stockmeyer).  This cuts ciphertext-ciphertext multiplies from
+~d/2 to ~2*sqrt(d) — an 8x smaller traced program for degree 255, which is
+what keeps the jitted bootstrap circuit compilable — at the cost of ONE
+extra level (the chunk's coefficient multiply): depth becomes
+2*ceil(log2(d+1)) + 1 in hi_scale mode (`chunked_depth`).
 """
 
 from __future__ import annotations
@@ -34,6 +43,31 @@ from .ciphertext import Ciphertext
 from .ops import Evaluator
 
 _COEF_EPS = 1e-12
+
+# below this degree the depth-optimal binary splitting runs to linear
+# leaves (activations keep their level plans); at or above it, chunked
+# Paterson–Stockmeyer kicks in
+_BSGS_MIN_DEGREE = 32
+
+
+def chunk_size(degree: int) -> int:
+    """Baby-step size for chunked evaluation: 2^round(log2(sqrt(d+1)))."""
+    if degree < _BSGS_MIN_DEGREE:
+        return 2  # recursion runs to linear leaves (no chunking)
+    return 1 << int(round(math.log2(math.sqrt(degree + 1))))
+
+
+def chunked_depth(degree: int) -> int:
+    """Levels consumed by evaluate_polynomial in hi_scale chunked mode."""
+    return 2 * int(math.ceil(math.log2(degree + 1))) + 1
+
+
+def hi_scale_depth(degree: int) -> int:
+    """Levels evaluate_polynomial(hi_scale=True) consumes for this degree
+    (chunked PS above the threshold, binary splitting below)."""
+    if degree >= _BSGS_MIN_DEGREE:
+        return chunked_depth(degree)
+    return 2 * int(math.ceil(math.log2(degree + 1)))
 
 
 @dataclass
@@ -124,8 +158,9 @@ def evaluate_polynomial(ev: Evaluator, x: Ciphertext, poly: Polynomial,
         raise ValueError("constant polynomial: nothing to evaluate")
     m = max(1, int(math.ceil(math.log2(d + 1))))
     pb = PowerBasis(ev, x, poly.basis, hi_scale=hi_scale)
+    pb.baby_k = chunk_size(d)
     for k in range(1, m):
-        pb.get(1 << k)  # only power-of-two powers are needed
+        pb.get(1 << k)  # power-of-two powers (babies + giants)
     out = _eval_rec(ev, pb, list(poly.coeffs[: d + 1]), target)
     if out is None:
         raise ValueError("polynomial had no evaluable terms")
@@ -149,11 +184,19 @@ def _eval_rec(ev: Evaluator, pb: PowerBasis, coeffs: list[float],
     if d == 0:
         return None if abs(coeffs[0]) <= _COEF_EPS else (None, coeffs[0])
 
-    if d == 1:
-        t1 = pb.get(1)
-        enc_scale = target * ev.ctx.q_primes[t1.level] / t1.scale
-        term = ev.mul_scalar_at(t1, coeffs[1], enc_scale)
-        return (term.with_(scale=target), coeffs[0])
+    if d < max(getattr(pb, "baby_k", 2), 2):
+        # baby chunk: direct coefficient sum over cached powers, every
+        # term steered to `target` (Paterson–Stockmeyer leaves)
+        acc = None
+        for j in range(1, d + 1):
+            if abs(coeffs[j]) <= _COEF_EPS:
+                continue
+            tj = pb.get(j)
+            enc_scale = target * ev.ctx.q_primes[tj.level] / tj.scale
+            term = ev.mul_scalar_at(tj, coeffs[j], enc_scale
+                                    ).with_(scale=target)
+            acc = term if acc is None else ev.add(acc, term)
+        return (acc, coeffs[0])
 
     # giant split at g = largest power of two <= d (and >= baby)
     g = 1 << (d.bit_length() - 1)
@@ -209,8 +252,10 @@ def _predict_level(ev: Evaluator, pb: PowerBasis, coeffs: list[float]):
     d = _nonzero_deg(coeffs)
     if d <= 0:
         return None
-    if d == 1:
-        return pb.get(1).level - 1
+    if d < max(getattr(pb, "baby_k", 2), 2):
+        return min(pb.get(j).level
+                   for j in range(1, d + 1)
+                   if abs(coeffs[j]) > _COEF_EPS) - 1
     g = 1 << (d.bit_length() - 1)
     tg = pb.get(g)
     if pb.basis == "monomial":

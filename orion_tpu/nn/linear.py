@@ -83,6 +83,28 @@ class LinearTransform(Module):
         out = out + self.on_bias_ptxt
         return out
 
+    def program_signature(self):
+        """Everything the he-forward bakes into its traced program: scan
+        index arrays, BSGS geometry, levels/scales, output metadata.  Equal
+        signatures (e.g. repeated ResNet blocks at the same level) share one
+        compiled XLA program (runtime/jit.py)."""
+        if not self.compiled:
+            return id(self)
+        trs = []
+        for key in sorted(self.compiled):
+            tr = self.compiled[key]
+            trs.append((key, tr.level, tr.n1, tr.pt_scale, tr.babies_full,
+                        tr.giants, tuple(tr.pts.shape),
+                        np.asarray(tr.b_pos).tobytes(),
+                        np.asarray(tr.g_pos).tobytes()))
+        bias = None
+        if self.on_bias_ptxt is not None:
+            bias = tuple((pt.level, pt.scale, tuple(pt.data.shape))
+                         for pt in self.on_bias_ptxt.plaintexts)
+        return (type(self).__name__, tuple(trs), bias, self.output_rotations,
+                getattr(self, "_pack_keys", None),
+                tuple(self.output_shape), tuple(self.fhe_output_shape))
+
 
 class Linear(LinearTransform):
     def __init__(self, in_features, out_features, bias=True, bsgs_ratio=2,

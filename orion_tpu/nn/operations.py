@@ -34,7 +34,14 @@ class Mult(Module):
 
 
 class Bootstrap(Module):
-    """Inserted by the auto-bootstrap placer (never user-constructed)."""
+    """Inserted by the auto-bootstrap placer (never user-constructed).
+
+    The shift constant is encoded as plaintexts (swapped jit arguments) and
+    the postscale is quantised to a power of two, so every Bootstrap whose
+    tensor shape and postscale match shares ONE compiled XLA program
+    (runtime/jit.py program signatures) — on a ResNet that collapses ~24
+    bootstrap compilations into a handful.
+    """
 
     def __init__(self, input_min, input_max, input_level):
         super().__init__()
@@ -45,6 +52,8 @@ class Bootstrap(Module):
         self.postscale = 1
         self.constant = 0.0
         self.prescale_ptxt = None
+        self.slot_count = None
+        self.norm_level = None
 
     def fit(self):
         center = (self.input_min + self.input_max) / 2
@@ -58,13 +67,18 @@ class Bootstrap(Module):
         ratio = 8
         if self.scheme is not None and getattr(self.scheme.params, "boot", None):
             ratio = int(self.scheme.params.boot.get("MsgRatio", 8))
-        self.postscale = max(1, math.ceil((self.high - self.low) / 2)) * ratio
+        post = max(1, math.ceil((self.high - self.low) / 2)) * ratio
+        # quantise up to a power of two: prescale*postscale stays exactly 1
+        # and bootstraps with ranges within 2x share a program signature
+        self.postscale = 1 << (post - 1).bit_length()
         self.prescale = 1.0 / self.postscale
         self.constant = -(self.low + self.high) / 2
 
     def compile(self):
         elements = int(np.prod(self.fhe_input_shape))
         curr_slots = 2 ** math.ceil(math.log2(elements))
+        self.slot_count = curr_slots
+        self.scheme.bootstrapper.generate_bootstrapper(curr_slots)
         vec = np.zeros(curr_slots)
         vec[:elements] = self.prescale
         # normalise to the level just above the modulus floor so every
@@ -73,18 +87,39 @@ class Bootstrap(Module):
         ql = self.scheme.encoder.get_moduli_chain()[self.norm_level]
         self.prescale_ptxt = self.scheme.encoder.encode(
             vec, level=self.norm_level, scale=float(ql))
+        # shift constants at the default scale: added before the prescale
+        # mult, removed after the bootstrap (both at scale Delta)
+        shift = np.full(curr_slots, self.constant)
+        shift[elements:] = 0.0
+        delta = self.scheme.ctx.default_scale
+        btp = self.scheme.bootstrapper.get_for_slots(curr_slots)
+        self.shift_in_ptxt = self.scheme.encoder.encode(
+            shift, level=self.norm_level, scale=delta)
+        self.shift_out_ptxt = self.scheme.encoder.encode(
+            shift, level=btp.out_level, scale=delta)
+
+    def program_signature(self):
+        return ("Bootstrap", self.postscale, self.norm_level,
+                self.slot_count, tuple(self.fhe_input_shape))
+
+    def __call__(self, x):
+        # mod-drop OUTSIDE the jitted program so bootstraps entered at
+        # different levels still share one compiled signature (the drop is
+        # a metadata slice, cheap in eager mode)
+        if self.he_mode and hasattr(x, "mod_drop") and \
+                self.norm_level is not None:
+            x = x.mod_drop(self.norm_level)
+        return super().__call__(x)
 
     @timer
     def forward(self, x):
         if not self.he_mode:
             return x
         x = x.mod_drop(self.norm_level)
-        if self.constant != 0:
-            x = x + self.constant
+        x = x + self.shift_in_ptxt
         x = x * self.prescale_ptxt
         x = x.bootstrap()
         if self.postscale != 1:
             x = x * self.postscale
-        if self.constant != 0:
-            x = x - self.constant
+        x = x - self.shift_out_ptxt
         return x

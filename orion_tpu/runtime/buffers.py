@@ -7,9 +7,18 @@ module discovers every large device buffer a module's encrypted forward can
 touch and exposes swap handles so the jit wrapper can pass them as ARGUMENTS
 (traced leaves) instead of captured constants: during tracing the owners'
 attributes are temporarily replaced with tracers, then restored.
+
+Collection is SCOPED: each module receives only the buffers its own forward
+reads — its plaintexts, its compiled transforms, the level-trimmed KeyPacks
+it requests (recorded at compile time in `_pack_keys`), the relin key, and
+(for Bootstrap modules) the shared bootstrapper circuit.  Passing the whole
+global key chest to every program bloated argument lists and XLA workspace
+in round 1 and was a contributor to the ResNet HBM OOM.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 from ..crypto.ciphertext import Plaintext
 from .tensors import PlainTensor
@@ -56,6 +65,19 @@ def _plaintensor_swaps(ptensor: PlainTensor):
     return out
 
 
+def _plaintext_swaps(owner, attr):
+    pt = getattr(owner, attr)
+    out = [Swappable(lambda: getattr(owner, attr).data,
+                     lambda v: setattr(owner, attr,
+                                       getattr(owner, attr).with_(data=v)))]
+    if pt.shoup is not None:
+        out.append(Swappable(
+            lambda: getattr(owner, attr).shoup,
+            lambda v: setattr(owner, attr,
+                              getattr(owner, attr).with_(shoup=v))))
+    return out
+
+
 def _scan_transform_swaps(tr):
     return [_attr_swap(tr, "pts"), _attr_swap(tr, "pts_shoup")]
 
@@ -71,30 +93,92 @@ def _ksk_swaps(ksk):
     return [_attr_swap(ksk, "data"), _attr_swap(ksk, "shoup")]
 
 
+def _bootstrapper_swaps(btp):
+    out = []
+    for tr in list(btp.cts_transforms) + list(btp.stc_transforms):
+        out.extend(_scan_transform_swaps(tr))
+    out.extend(_plaintext_swaps(btp, "minus_i_pt"))
+    out.extend(_plaintext_swaps(btp, "plus_i_pt"))
+    packs = getattr(btp.ev, "_key_packs", {})
+    for pk in btp.pack_keys:
+        if pk in packs:
+            out.extend(_key_pack_swaps(packs[pk]))
+    # conjugation key (the one original galois key the circuit needs)
+    out.extend(_ksk_swaps(btp.scheme.keys.galois_key(
+        btp.ctx.galois_element_conj())))
+    return out
+
+
 def collect_swappables(scheme, module) -> list[Swappable]:
-    """Everything the module's he-forward may read that is large."""
+    """Everything THIS module's he-forward may read that is large, in a
+    deterministic order shared by structurally-identical modules (so they
+    can share one compiled XLA program, see runtime/jit.py)."""
     out = []
 
-    # module-held plaintexts (bias, BN constants, bootstrap prescale)
-    for name, val in list(vars(module).items()):
+    # module-held plaintexts (bias, BN constants, bootstrap prescale/shift)
+    for name in sorted(vars(module)):
+        val = vars(module)[name]
         if isinstance(val, PlainTensor):
             out.extend(_plaintensor_swaps(val))
-    # compiled linear transforms
-    for tr in getattr(module, "compiled", {}).values():
-        out.extend(_scan_transform_swaps(tr))
+        elif isinstance(val, Plaintext):
+            out.extend(_plaintext_swaps(module, name))
 
-    # global key material (shared across modules; passing all of it keeps
-    # the collection logic simple — args are device pointers, not copies)
-    keys = scheme.keys
-    out.extend(_ksk_swaps(keys.relin_key))
-    for gk in keys.galois_keys.values():
-        out.extend(_ksk_swaps(gk))
-    for pack in getattr(scheme.evaluator, "_key_packs", {}).values():
-        out.extend(_key_pack_swaps(pack))
+    # compiled linear transforms + the key packs recorded at compile time
+    for key in sorted(getattr(module, "compiled", {})):
+        out.extend(_scan_transform_swaps(module.compiled[key]))
+    packs = getattr(scheme.evaluator, "_key_packs", {})
+    for pk in getattr(module, "_pack_keys", ()):
+        if pk in packs:
+            out.extend(_key_pack_swaps(packs[pk]))
 
-    # bootstrapper transforms (Bootstrap modules route through these)
-    btp = getattr(scheme.bootstrapper, "full", None)
-    if btp is not None:
-        for tr in list(btp.cts_transforms) + list(btp.stc_transforms):
-            out.extend(_scan_transform_swaps(tr))
+    # relinearisation key: any ct-ct multiply (activations, Mult, EvalMod)
+    out.extend(_ksk_swaps(scheme.keys.relin_key))
+
+    # hybrid-embedding output rotations use original galois keys (roll path)
+    for i in range(1, getattr(module, "output_rotations", 0) + 1):
+        amt = scheme.ctx.slots // (2 ** i)
+        out.extend(_ksk_swaps(scheme.keys.galois_key(
+            scheme.ctx.galois_element(amt))))
+
+    # Bootstrap modules route through the shared bootstrapper circuit
+    if getattr(module, "slot_count", None) is not None and \
+            type(module).__name__ == "Bootstrap":
+        btp = scheme.bootstrapper.get_for_slots(module.slot_count)
+        out.extend(_bootstrapper_swaps(btp))
     return out
+
+
+def buffer_bytes(swaps) -> int:
+    total = 0
+    for sw in swaps:
+        v = sw.getter()
+        if v is not None and hasattr(v, "nbytes"):
+            total += int(v.nbytes)
+    return total
+
+
+def hbm_report(scheme, net) -> dict:
+    """Estimate per-module and shared device-buffer residency (bytes)."""
+    seen = set()
+    per_module = {}
+    total = 0
+    for name, module in net.named_modules():
+        if not module.is_leaf():
+            continue
+        try:
+            swaps = collect_swappables(scheme, module)
+        except Exception:
+            continue
+        mod_total = 0
+        for sw in swaps:
+            v = sw.getter()
+            if v is None or not hasattr(v, "nbytes"):
+                continue
+            key = id(v)
+            if key in seen:
+                continue
+            seen.add(key)
+            mod_total += int(v.nbytes)
+        per_module[name] = mod_total
+        total += mod_total
+    return {"total": total, "per_module": per_module}

@@ -106,7 +106,7 @@ def parse_config(config: dict) -> Params:
     p.ring_type = "standard"
     p.boot_logp = list(boot.get("LogP", []))
     if boot:
-        import math as _math
+        from ..crypto.polyeval import hi_scale_depth
         mod_degree = int(boot.get("ModDegree", 255))
         p.boot = {
             "CtSLevels": int(boot.get("CtSLevels", 3)),
@@ -114,7 +114,7 @@ def parse_config(config: dict) -> Params:
             "ModDegree": mod_degree,
             "K": int(boot.get("K", 16)),
             "MsgRatio": int(boot.get("MsgRatio", 8)),
-            "ModDepth": 2 * int(_math.ceil(_math.log2(mod_degree + 1))),
+            "ModDepth": hi_scale_depth(mod_degree),
         }
 
     p.margin = float(orion_cfg.get("margin", p.margin))

@@ -53,12 +53,17 @@ def make_jitted_forward(net, scheme):
 
 def make_module_runner(scheme):
     """Per-leaf-module jit: each layer compiles to its own cached XLA
-    program keyed by (module, ciphertext signature).
+    program keyed by (program signature, ciphertext signature).
 
     For deep bootstrapped networks a single whole-network program would be
-    millions of HLO ops; per-module programs stay bounded and REPEATED
-    structures (e.g. every Bootstrap after level normalisation, repeated
-    ResNet blocks at equal levels) share cache entries.
+    millions of HLO ops; per-module programs stay bounded, and REPEATED
+    structures share one compiled program: a module may define
+    `program_signature()` returning a hashable that captures every value its
+    forward BAKES into the trace (levels, scales, scan index arrays, poly
+    coefficients...).  Two modules with equal signatures and equal buffer
+    shapes reuse the same XLA executable with their own buffer values —
+    e.g. the 24 Bootstrap modules of a ResNet compile ~once per tensor
+    shape, not 24 times.  Default signature is id(module) (no sharing).
 
     All large device buffers (packed diagonals, key material, module
     plaintexts) are passed as jit ARGUMENTS via swap-during-trace
@@ -85,7 +90,15 @@ def make_module_runner(scheme):
         if id(module) not in swaps_by_module:
             swaps_by_module[id(module)] = collect_swappables(scheme, module)
         swaps = swaps_by_module[id(module)]
-        key = (id(module), tuple(spec))
+        sig_fn = getattr(module, "program_signature", None)
+        if sig_fn is not None:
+            bufsig = tuple(
+                (v.shape, str(v.dtype)) if hasattr(v, "shape") else None
+                for v in (sw.getter() for sw in swaps))
+            sig = (sig_fn(), bufsig)
+        else:
+            sig = id(module)
+        key = (sig, tuple(spec))
         if key not in cache:
             side = {}
 

@@ -120,24 +120,35 @@ class LTEvaluatorService:
             rotations.add(ctx.slots // (2 ** i))
         self.generate_rotation_keys(rotations)
         layer.compiled = compiled
-        self._prewarm_key_packs(compiled)
+        self._prewarm_key_packs(compiled, layer)
         return compiled
 
-    def _prewarm_key_packs(self, compiled):
-        """Build the exact KeyPacks evaluation will request, at compile time,
-        so the jit wrapper can pass them as arguments (closure-free)."""
+    def _prewarm_key_packs(self, compiled, layer=None):
+        """Build the exact level-trimmed KeyPacks evaluation will request,
+        at compile time, so the jit wrapper can pass them as arguments
+        (closure-free) and so eval never regenerates keys.  Records the pack
+        cache keys on the layer (`_pack_keys`) for scoped buffer collection."""
         from ..crypto import lintrans_scan
         ev = self.scheme.evaluator
+        pack_keys = set()
         cols = {}
         for (i, j), tr in compiled.items():
             cols.setdefault(j, set()).update(set(tr.babies) | {0})
             giants = [a for a in tr.giants if a != 0]
             if giants:
-                lintrans_scan.build_key_pack(ev, giants)
+                pack = lintrans_scan.build_key_pack(ev, giants,
+                                                    level=tr.level)
+                pack_keys.add(pack.cache_key)
         for j, babies in cols.items():
             todo = [a for a in sorted(babies) if a != 0]
             if todo:
-                lintrans_scan.build_key_pack(ev, todo)
+                level = next(tr.level for (i, jj), tr in compiled.items()
+                             if jj == j)
+                pack = lintrans_scan.build_key_pack(ev, todo, level=level)
+                pack_keys.add(pack.cache_key)
+        if layer is not None:
+            layer._pack_keys = tuple(sorted(
+                pack_keys, key=lambda k: (k[0], -1 if k[1] is None else k[1])))
 
     def generate_rotation_keys(self, rotations):
         new = set(rotations) - self.generated_rotations
@@ -217,5 +228,9 @@ class BootstrapperService:
     def generate_bootstrapper(self, slot_count):
         return self._get_full()
 
+    def get_for_slots(self, slot_count):
+        """The bootstrapper instance serving a given sparse slot count."""
+        return self._get_full()
+
     def bootstrap(self, ct, slots):
-        return self._get_full().bootstrap(ct, slots)
+        return self.get_for_slots(slots).bootstrap(ct, slots)

@@ -62,6 +62,36 @@ def test_chebyshev(scheme, deg):
     assert out.level >= ctx.max_level - poly.depth - 1
 
 
+def test_chebyshev_chunked_ps(scheme):
+    """Degree >= 32 switches to chunked Paterson–Stockmeyer (the bootstrap
+    EvalMod path): ~2*sqrt(d) ct-ct mults, one extra level."""
+    ctx, enc, keys, ev = scheme
+    deg = 63
+    coeffs = RNG.uniform(-1, 1, deg + 1) / np.sqrt(deg + 1)
+    x = RNG.uniform(-0.99, 0.99, ctx.slots)
+    ct = _encrypt(ctx, enc, keys, x)
+    poly = Polynomial(list(coeffs), "chebyshev")
+
+    calls = {"n": 0}
+    orig = ev.mul_relin
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    ev.mul_relin = counting
+    try:
+        out = evaluate_polynomial(ev, ct, poly)
+    finally:
+        ev.mul_relin = orig
+    want = np.polynomial.chebyshev.chebval(x, coeffs)
+    got = _decrypt(ctx, enc, keys, out)
+    np.testing.assert_allclose(got, want, atol=3e-2)
+    # babies (6) + giants (3) + recombination (7) << d/2 binary leaves
+    assert calls["n"] <= 20, f"PS should use ~2sqrt(d) mults, got {calls}"
+    assert out.level >= ctx.max_level - (poly.depth + 1)
+
+
 def test_output_scale_pinning(scheme):
     """output_scale=q_l enables the exact-rescale trick used by _Sign."""
     ctx, enc, keys, ev = scheme
