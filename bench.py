@@ -25,6 +25,109 @@ sys.path.insert(0, str(Path(__file__).parent))
 import numpy as np
 
 
+def microbench():
+    """Per-op throughput on the current backend (BASELINE.md north star:
+    ct-ct mults/s and key-switches/s per chip, with roofline context).
+
+    Ops are chained through a lax.scan so one XLA program amortises
+    dispatch; the roofline figures are analytical bytes-moved per op
+    against the v5e HBM peak (819 GB/s) — key-switching is
+    bandwidth-bound on the KSK reads, so bytes/s vs peak is the honest
+    utilisation metric.
+    """
+    import jax
+    import jax.numpy as jnp
+    from orion_tpu.crypto import CKKSContext, Encoder, Evaluator, KeyChest
+    from orion_tpu.crypto.ciphertext import Ciphertext
+    from orion_tpu.crypto.keyswitch import dev_level, ks_decompose, ks_finish
+    from orion_tpu.crypto.ntt import ntt as ntt_fn
+
+    # the MLP workload's ring: LogN 13, 6-prime chain + 2 specials
+    ctx = CKKSContext(logn=13, logq=[29, 26, 26, 26, 26, 26],
+                      logp=[29, 29], logscale=26, h=8192, seed=5)
+    enc = Encoder(ctx)
+    keys = KeyChest(ctx)
+    ev = Evaluator(ctx, keys)
+    level = ctx.max_level
+    nl = level + 1
+    n = ctx.n
+    dl = dev_level(ctx, level)
+    n_sp = int(dl.s_p.shape[0])
+    n_t = nl + n_sp
+    dnum = len(dl.digits)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, ctx.slots)
+    pt, s = enc.encode(x)
+    ct = Ciphertext(jnp.asarray(keys.encrypt_rns(pt).astype(np.uint32)),
+                    level, s)
+    reps = 20
+
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / reps
+
+    # --- ct-ct multiply (tensor + relinearise, no rescale: fixed level) ---
+    @jax.jit
+    def mult_chain(data):
+        def body(c, _):
+            out = ev.mul_relin(Ciphertext(c, level, s),
+                               Ciphertext(data, level, s), rescale=False)
+            return out.data, None
+        out, _ = jax.lax.scan(body, data, None, length=reps)
+        return out
+
+    t_mult = timed(mult_chain, ct.data)
+
+    # --- raw hybrid key-switch (decompose + inner product + ModDown) ---
+    rk = keys.relin_key
+
+    @jax.jit
+    def ks_chain(c1):
+        def body(c, _):
+            out = ks_finish(ks_decompose(c, dl), dl, rk.data, rk.shoup)
+            return out[1], None
+        out, _ = jax.lax.scan(body, c1, None, length=reps)
+        return out
+
+    t_ks = timed(ks_chain, ct.data[1])
+
+    # --- forward NTT over a full ciphertext (2 x L x N) ---
+    @jax.jit
+    def ntt_chain(c):
+        def body(a, _):
+            return ntt_fn(a, dl.q_tw, dl.q_tw_shoup, dl.q_p), None
+        out, _ = jax.lax.scan(body, c, None, length=reps)
+        return out
+
+    t_ntt = timed(ntt_chain, ct.data)
+
+    # --- analytical roofline: bytes touched per op (uint32 words) ---
+    word = 4
+    ksk_bytes = dnum * 2 * n_t * n * word          # key read dominates
+    ks_bytes = ksk_bytes + (dnum * n_t + 4 * nl + 2 * n_t) * n * word
+    mult_bytes = ks_bytes + 6 * nl * n * word      # + tensoring traffic
+    ntt_bytes = 2 * nl * n * word * 2              # read + write
+    hbm_peak = 819e9                               # v5e HBM GB/s
+
+    return {
+        "ct_mult_per_s": 1.0 / t_mult,
+        "keyswitch_per_s": 1.0 / t_ks,
+        "ntt_per_s": 1.0 / t_ntt,
+        "ct_mult_ms": t_mult * 1e3,
+        "keyswitch_ms": t_ks * 1e3,
+        "ntt_us": t_ntt * 1e6,
+        "keyswitch_hbm_frac": (ks_bytes / t_ks) / hbm_peak,
+        "ct_mult_hbm_frac": (mult_bytes / t_mult) / hbm_peak,
+        "ntt_hbm_frac": (ntt_bytes / t_ntt) / hbm_peak,
+        "params": {"logn": 13, "level": level, "dnum": dnum, "n_t": n_t},
+    }
+
+
 def main():
     import jax
     import orion_tpu as orion
@@ -73,11 +176,14 @@ def main():
     dist = mae(out_clear, out_fhe[: out_clear.size])
     assert dist < 0.005, f"accuracy regression: MAE={dist}"
 
+    micro = microbench()
+
     print(json.dumps({
         "metric": "mlp_fhe_forward_latency",
         "value": steady,
         "unit": "s",
         "vs_baseline": model_s / steady,
+        "micro": micro,
     }))
 
 

@@ -108,13 +108,24 @@ def parse_config(config: dict) -> Params:
     if boot:
         from ..crypto.polyeval import hi_scale_depth
         mod_degree = int(boot.get("ModDegree", 255))
+        # circuit primes are full-width 30-bit by default: EvalMod runs at
+        # W = 2^60, which keeps the key-switch noise amplified by the
+        # beta-folded coefficients (bootstrap.py) below the noise floor
+        # even for wide (split) q0 — the full-band message regime
+        circuit_logq = min(30, int(boot.get("CircuitLogQ", 30)))
+        # StC sheds the full W -> Delta boost through its stage pt scales;
+        # cap the per-stage shed at ~9 bits so entry quantisation stays
+        # ~2^-21 (raising StCLevels costs one extra circuit prime each)
+        shed_bits = 2 * circuit_logq - p.logscale
+        min_stc = max(1, math.ceil(shed_bits / 9))
         p.boot = {
             "CtSLevels": int(boot.get("CtSLevels", 3)),
-            "StCLevels": int(boot.get("StCLevels", 3)),
+            "StCLevels": max(int(boot.get("StCLevels", 3)), min_stc),
             "ModDegree": mod_degree,
             "K": int(boot.get("K", 16)),
             "MsgRatio": int(boot.get("MsgRatio", 8)),
             "ModDepth": hi_scale_depth(mod_degree),
+            "CircuitLogQ": circuit_logq,
         }
 
     p.margin = float(orion_cfg.get("margin", p.margin))
@@ -146,10 +157,14 @@ def parse_config(config: dict) -> Params:
     if p.boot:
         n_circuit = (p.boot["CtSLevels"] + p.boot["StCLevels"]
                      + p.boot["ModDepth"] + 2)
-        p.split_logq = p.split_logq + [p.logscale] * n_circuit
+        p.split_logq = p.split_logq + [p.boot["CircuitLogQ"]] * n_circuit
 
     split_logp = []
-    for b in p.logp:
+    # `boot_params: LogP` extends the special primes (reference semantics:
+    # the bootstrapper's evaluator gets its own LogP,
+    # `orion/backend/lattigo/bootstrapper.go:18-58`); folding them into the
+    # hybrid key-switch basis raises alpha and shrinks dnum for deep chains
+    for b in p.logp + p.boot_logp:
         split_logp.extend(split_modulus(b))
     p.logp = split_logp
     return p
