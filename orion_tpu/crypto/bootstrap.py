@@ -54,6 +54,21 @@ def fit_eval_mod(K: int, degree: int):
 
 
 class Bootstrapper:
+    """Full- or sparse-slot bootstrapping circuit.
+
+    With `slots` = s < ctx.slots the circuit runs on the 2s-coefficient
+    subring (reference: per-slot-count bootstrappers,
+    `orion/backend/lattigo/bootstrapper.go:18-80`): after ModRaise a
+    partial trace (log2(n/s) rotate-adds over the subgroup) projects the
+    plaintext onto subring-supported coefficients — multiplying them by
+    n/s, absorbed errorlessly into the declared scale — and CtS/StC become
+    s-point special FFTs whose stage matrices have radix 2^(log2(s)/levels)
+    diagonals instead of 2^(log2(n)/levels).  EvalMod is unchanged.  The
+    output carries the s slots REPLICATED n/s times (exactly the sparse
+    packing the reference's backend returns); downstream linear transforms
+    read only the columns their packing populated, so the copies are inert.
+    """
+
     def __init__(self, scheme, slots: int | None = None, cts_levels: int = 3,
                  stc_levels: int = 3, mod_degree: int = 255, K: int = 16):
         self.scheme = scheme
@@ -66,8 +81,17 @@ class Bootstrapper:
         self.mod_degree = mod_degree
 
         ctx = self.ctx
+        if ctx.ring_type != "standard":
+            raise NotImplementedError(
+                "bootstrapping is implemented for the standard ring only")
         p = scheme.params
         self.n = ctx.slots
+        # sparse slot count: at least one butterfly stage per grouped level
+        # so the circuit consumes exactly the planned level budget
+        s = int(slots) if slots else ctx.slots
+        s = max(s, 1 << max(cts_levels, stc_levels))
+        self.slots = min(s, ctx.slots)
+        self.ratio = self.n // self.slots
         self.user_top = p.base_level + p.l_eff     # bootstrap output level
         self.top = ctx.max_level                   # after ModRaise
         self.q0 = float(np.prod([ctx.q_primes[i]
@@ -86,27 +110,67 @@ class Bootstrapper:
                 f"bootstrap circuit needs {need} levels above the user chain "
                 f"but only {budget} are available; extend boot_params")
 
-        beta = self.q0 * (K + 1) / delta
+        # MessageRatio design (Lattigo parity: `Parameters.MessageRatio`,
+        # behind `orion/backend/lattigo/bootstrapper.go`): the message is
+        # prescaled UP by the exact integer D = round(q0/(R*Delta)) before
+        # ModRaise, so it occupies 1/R of the EvalMod band regardless of
+        # how wide q0 is.  Every EvalMod-input error eps (CtS encoding
+        # quantisation, keyswitch noise, sine linearisation) reaches the
+        # output multiplied by beta = q0(K+1)/(D*Delta) ~ R(K+1); with
+        # R=256..512 that is ~2^13 — against 2^33 if the message were left
+        # at scale Delta under a 55-bit q0, which buries it under CtS
+        # noise.  D=1 (narrow q0 <= R*Delta) degrades gracefully: the
+        # Bootstrap module adds the residual headroom prescale (see
+        # `headroom` below).
+        boot_cfg = scheme.params.boot or {}
+        R = int(boot_cfg.get("MsgRatio", 256))
+        self.msg_ratio = R
+        self.D = max(1, int(round(self.q0 / (R * delta))))
+        self.delta_boot = self.D * delta
+        self.beta = self.q0 * (K + 1) / self.delta_boot
+        # extra message headroom the nn.Bootstrap module must provide when
+        # D cannot reach the target ratio (q0 too narrow): power of two so
+        # the module's postscale return trip is errorless
+        self.headroom = 1
+        while self.q0 / self.delta_boot * self.headroom < R * 0.75:
+            self.headroom <<= 1
 
         # Scale plan: entering CtS, the raised ciphertext's scale is simply
-        # RE-DECLARED as q0*(K+1) (a free division of the values into the
-        # EvalMod band), and each CtS stage GROWS the working scale via its
-        # plaintext scale (pt = q * g) until EvalMod runs at ~Delta^2.
-        # This keeps CtS matrix entries O(1) so their 0.5/pt_scale encoding
-        # error never multiplies the large post-ModRaise values — the
-        # error floor that capped earlier revisions.
-        self.pre_scale = self.q0 * (K + 1)
-        work_target = delta * delta
-        growth = (work_target / self.pre_scale) ** (1.0 / cts_levels)
+        # RE-DECLARED as q0*(K+1)*ratio (a free division of the values into
+        # the EvalMod band; the subring trace's coefficient-by-ratio growth
+        # is absorbed the same way), and each CtS stage GROWS the working
+        # scale via its plaintext scale (pt = q * g) until EvalMod runs at
+        # the wide working scale W = product of two circuit primes (2^60
+        # with 30-bit circuit primes), keeping rescale noise far below the
+        # signal.
+        #
+        # CtS pt scales set the bootstrap error floor: entry quantisation
+        # (0.5/pt_scale, ABSOLUTE) multiplies post-ModRaise slot values as
+        # large as ~2K and reaches the output beta-amplified.  The raw
+        # growth budget W/pre_scale is tiny (~2 for a wide q0), so the pt
+        # scales get an extra boost of q_ext/m, shed for free through the
+        # u/v-extraction level: the extraction constants (1 and -i) are
+        # encoded at a small INTEGER scale m (coefficients exactly +-m:
+        # zero encoding error), so the extraction multiply rescales by
+        # q_ext/m and returns the working scale to exactly W.
+        self.pre_scale = self.q0 * (K + 1) * self.ratio
+        circuit_logq = int(boot_cfg.get("CircuitLogQ",
+                                        scheme.params.logscale))
+        work_target = float(2.0 ** (2 * circuit_logq))
+        self.extract_m = 1 << 6
+        lvl_ext = self.top - cts_levels           # u/v extraction level
+        q_ext = float(ctx.q_primes[lvl_ext])
+        growth = (work_target * q_ext /
+                  (self.extract_m * self.pre_scale)) ** (1.0 / cts_levels)
 
         # ---- CtS transforms (0.5 folded for the conjugation split) ----
-        cts_mats = homdft.cts_matrices(self.n, cts_levels, 0.5)
+        cts_mats = homdft.cts_matrices(self.slots, cts_levels, 0.5)
         self.cts_transforms = []
         rotations = set()
         lvl = self.top
         s_track = self.pre_scale
         for mat in cts_mats:
-            diags = homdft.matrix_diagonals(mat)
+            diags = self._tiled_diagonals(mat)
             tr = compile_transform_scan(
                 self.enc, diags, lvl, self.n,
                 pt_scale=float(self.ctx.q_primes[lvl]) * growth)
@@ -115,25 +179,38 @@ class Bootstrapper:
             s_track *= growth
             lvl -= 1
         self.lvl_after_cts = lvl
-        self.mod_in_scale = s_track  # ~Delta^2, exact float
+        self.cts_out_scale = s_track                  # = W * q_ext / m
+        # u/v extraction (constants at exact integer scale m) sheds the
+        # boost: EvalMod runs at exactly the wide working scale W
+        self.mod_in_scale = s_track * self.extract_m / q_ext
 
         # ---- EvalMod polynomial ----
+        # beta = q0(K+1)/Delta (the un-division of the EvalMod band) and the
+        # sparse projection's ratio are folded INTO the Chebyshev
+        # coefficients: coefficient-encoding quantisation (~0.5/q_l per
+        # coefficient) is ABSOLUTE, so scaling the coefficients costs no
+        # relative precision — whereas re-declaring the scale after EvalMod
+        # would amplify that quantisation by beta (2^33 for a 55-bit q0),
+        # which is exactly the error floor that broke full-band messages.
+        fold = self.beta * self.ratio
         self.mod_poly = Polynomial(
-            fit_eval_mod(K, mod_degree).tolist(), "chebyshev")
+            (fit_eval_mod(K, mod_degree) * fold).tolist(), "chebyshev")
 
         # ---- StC transforms ----
         # level plan: v-extraction costs 1 level, EvalMod mod_depth, the
         # i-recombination 1; StC then runs at lvl_stc .. user_top+1
         lvl_stc = self.lvl_after_cts - 1 - mod_depth - 1
-        stc_mats = homdft.stc_matrices(self.n, stc_levels, beta)
+        # StC entries stay O(1) (beta lives in the EvalMod coefficients, see
+        # above); the W -> Delta scale boost is shed through the StC stage
+        # pt scales.  Each stage sheds (W/Delta)^(1/levels); keeping the pt
+        # scales >= ~2^21 (entry quantisation ~2e-6) requires enough StC
+        # stages — config.py auto-raises StCLevels to meet this.
+        stc_mats = homdft.stc_matrices(self.slots, stc_levels, 1.0)
         self.stc_transforms = []
         lvl = lvl_stc
-        # shed the working-scale boost across the StC stages so the output
-        # lands at exactly Delta (StC input values are tiny, so the smaller
-        # pt scales cost nothing in precision)
         shed = (self.mod_in_scale / delta) ** (1.0 / stc_levels)
         for mat in stc_mats:
-            diags = homdft.matrix_diagonals(mat)
+            diags = self._tiled_diagonals(mat)
             tr = compile_transform_scan(
                 self.enc, diags, lvl, self.n,
                 pt_scale=float(self.ctx.q_primes[lvl]) / shed)
@@ -144,12 +221,22 @@ class Bootstrapper:
             raise ValueError("bootstrap level plan underflows the user chain")
         self.out_level = lvl
 
+        # subring trace rotations (doubling ladder): amounts s, 2s, 4s, ...
+        self.trace_amounts = [self.slots * (1 << t)
+                              for t in range(int(math.log2(self.ratio)))]
+        rotations |= set(self.trace_amounts)
+
         # rotation + conjugation keys
         scheme.lt_evaluator.generate_rotation_keys(rotations)
         scheme.keys.galois_key(ctx.galois_element_conj())
         # pre-build the level-trimmed KeyPacks evaluation will use
         # (closure-free jit); record cache keys for scoped buffer collection
         self.pack_keys = set()
+        self.trace_packs = []
+        for amt in self.trace_amounts:
+            pk = build_key_pack(self.ev, [amt], level=self.top)
+            self.trace_packs.append(pk)
+            self.pack_keys.add(pk.cache_key)
         for tr in self.cts_transforms + self.stc_transforms:
             babies = [a for a in tr.babies if a != 0]
             if babies:
@@ -169,7 +256,10 @@ class Bootstrapper:
         # coefficient pattern touches); bootstrap() mod-drops to this
         # planned level so the pre-encoded constants always align.
         self.lvl_mod_out = self.lvl_after_cts - 1 - mod_depth
-        self.minus_i_pt = self._make_const_pt(-1.0j, self.lvl_after_cts)
+        m = float(self.extract_m)
+        self.minus_i_pt = self._make_const_pt(-1.0j, self.lvl_after_cts,
+                                              scale=m)
+        self.one_u_pt = self._make_const_pt(1.0, self.lvl_after_cts, scale=m)
         self.plus_i_pt = self._make_const_pt(1.0j, self.lvl_mod_out)
 
         # ModRaise tables: FBC from the bottom block to the full chain
@@ -179,6 +269,28 @@ class Bootstrapper:
             ctx._digit_tables(base_idx, full_idx), ctx)
 
     # ------------------------------------------------------------ #
+
+    def _tiled_diagonals(self, mat):
+        """Generalised diagonals of an s-point stage matrix, tiled to the
+        full slot count: an s-periodic vector rotated by k (< s) full-slot
+        positions rotates identically within every period, so the s-point
+        transform applied per-period IS the full-slot transform with
+        period-tiled diagonals."""
+        diags = homdft.matrix_diagonals(mat)
+        if self.ratio == 1:
+            return diags
+        return {d: np.tile(v, self.ratio) for d, v in diags.items()}
+
+    def _subring_trace(self, ct: Ciphertext) -> Ciphertext:
+        """sum_t rot(ct, t*s) via the doubling ladder: kills plaintext
+        coefficients outside the 2s-subring and multiplies the survivors by
+        ratio (declared into the scale)."""
+        from .lintrans_scan import rotate_scan
+        ev = self.ev
+        for pack in self.trace_packs:
+            rot = rotate_scan(ev, ct, pack)[0]
+            ct = ev.add(ct, Ciphertext(rot, ct.level, ct.scale))
+        return ct
 
     def mod_raise(self, ct: Ciphertext) -> Ciphertext:
         """Lift residues mod q0-block to the full chain (adds q0*I)."""
@@ -203,14 +315,16 @@ class Bootstrapper:
             ct = ev.rescale(eval_transform_scan(ev, tr, ct, rots))
         return ct
 
-    def _make_const_pt(self, value: complex, level: int) -> Plaintext:
+    def _make_const_pt(self, value: complex, level: int,
+                       scale: float | None = None) -> Plaintext:
         """Constant complex vector encoded at scale q_l (errorless level
-        consumption), built once at compile time."""
+        consumption) or an explicit integer scale (exact coefficients, used
+        by the u/v extraction shed), built once at compile time."""
         import jax.numpy as jnp
-        ql = float(self.ctx.q_primes[level])
+        s = float(self.ctx.q_primes[level]) if scale is None else scale
         vec = np.full(self.n, value, dtype=np.complex128)
         data, shoup, scale = self.enc.encode(
-            vec, level=level, scale=ql, with_shoup=True)
+            vec, level=level, scale=s, with_shoup=True)
         return Plaintext(jnp.asarray(data.astype(np.uint32)),
                          jnp.asarray(shoup), level, scale)
 
@@ -220,17 +334,24 @@ class Bootstrapper:
         if ct.level < self.scheme.params.base_level:
             raise ValueError(
                 f"bootstrap input level {ct.level} below the modulus floor")
+        if self.D > 1:
+            # exact integer prescale to Delta_boot = D*Delta ~ q0/R: residue
+            # multiply, no level consumed, no noise added (MessageRatio)
+            ct = ev.mul_scalar_int(ct, self.D)
         raised = self.mod_raise(ct)
+        if self.ratio > 1:
+            raised = self._subring_trace(raised)
         # free division into the EvalMod band: re-declare the scale as
-        # q0*(K+1); values become (Delta x + q0 I)/(q0 (K+1))
+        # q0*(K+1)*ratio; values become (Delta_boot x + q0 I)/(q0 (K+1))
         raised = raised.with_(scale=self.pre_scale)
 
         # CoeffsToSlots: t holds c_a + i c_b (scaled into [-1,1])
         t = self._apply_chain(raised, self.cts_transforms)
         t_conj = ev.conjugate(t)
-        u = ev.add(t, t_conj)                       # 2*Re = c_a terms (x0.5 folded)
-        diff = ev.sub(t, t_conj)
-        v = ev.mul_plain(diff, self.minus_i_pt)     # Im part (0.5 folded in CtS)
+        # u/v extraction: exact-integer-scale constants shed the CtS pt
+        # boost (scale W*q_ext/m -> W), consuming the planned level
+        u = ev.mul_plain(ev.add(t, t_conj), self.one_u_pt)   # 2*Re (x0.5 folded)
+        v = ev.mul_plain(ev.sub(t, t_conj), self.minus_i_pt)  # Im part
 
         # EvalMod on both halves at the Delta^2 working scale; align to the
         # planned output level (free drops absorb the depth-bound slack)
@@ -238,7 +359,9 @@ class Bootstrapper:
         v = evaluate_polynomial(ev, v, self.mod_poly, hi_scale=True)
         v = ev.mod_drop(v, self.lvl_mod_out)
 
-        # recombine a0 = u + i v and run StC
+        # recombine a0 = u + i v (beta*ratio already folded into the EvalMod
+        # coefficients, so a0 holds the refreshed coefficients directly);
+        # run StC
         iv = ev.mul_plain(v, self.plus_i_pt)
         a0 = ev.add(ev.mod_drop(u, iv.level), iv)
         out = self._apply_chain(a0, self.stc_transforms)

@@ -73,24 +73,34 @@ class CKKSContext:
     def __init__(self, logn: int, logq: list[int], logp: list[int],
                  logscale: int, h: int, ring_type: str = "standard",
                  seed: int = 0):
-        if ring_type.lower() not in ("standard",):
-            raise NotImplementedError(
-                f"ring type {ring_type!r}: the TPU stack currently implements "
-                "the standard ring (slots = N/2)")
+        rt = ring_type.lower().replace("_", "").replace("-", "")
+        if rt == "standard":
+            self.ring_type = "standard"
+        elif rt == "conjugateinvariant":
+            # real-slot ring (reference default for MLP/LoLA test configs,
+            # `orion/backend/lattigo/scheme.go:57-67`): the CI ring of
+            # degree n is the conjugation-invariant subring of the
+            # 2n-degree standard ring; slots = n, all real.  Elements are
+            # stored as n coefficients; NTTs route through the 2n lift
+            # (see ref.CIHostRing / ntt.ci_ntt).
+            self.ring_type = "conjugate_invariant"
+        else:
+            raise NotImplementedError(f"ring type {ring_type!r}")
+        ci = self.ring_type == "conjugate_invariant"
         self.logn = logn
-        self.n = 1 << logn
-        self.slots = self.n // 2
+        self.n = 1 << logn              # stored coefficient count
+        self.lift_n = 2 * self.n if ci else self.n   # NTT ring degree
+        self.slots = self.n if ci else self.n // 2
+        self.gal_mod = 2 * self.lift_n  # Galois exponents live mod this
         self.logq = list(logq)
         self.logp = list(logp)
         self.logscale = logscale
         self.default_scale = float(1 << logscale)
         self.h = h
-        self.ring_type = "standard"
         self.seed = seed
 
-        two_n = 2 * self.n
-        qs = primegen.generate_primes(self.logq, two_n)
-        ps = primegen.generate_primes(self.logp, two_n, avoid=set(qs))
+        qs = primegen.generate_primes(self.logq, self.gal_mod)
+        ps = primegen.generate_primes(self.logp, self.gal_mod, avoid=set(qs))
         self.q_primes = qs              # moduli chain, q_0 first
         self.p_primes = ps              # special primes
         self.primes = qs + ps           # global prime order: Q then P
@@ -103,18 +113,42 @@ class CKKSContext:
         for p in ps:
             self.P *= p
 
-        self.psis = [primegen.primitive_root_2n(p, two_n) for p in self.primes]
-        self.host = HostRing(self.primes, self.n, self.psis)
+        self.psis = [primegen.primitive_root_2n(p, self.gal_mod)
+                     for p in self.primes]
+
+        # slot <-> evaluation-point bookkeeping for automorphisms/encoding
+        self._brev = bit_reverse_indices(self.lift_n)
+        # NTT-domain position j holds the evaluation at psi^(2*bitrev(j)+1)
+        self._pos_to_exp = (2 * self._brev + 1) % self.gal_mod
+
+        if ci:
+            m = self.gal_mod
+            rot = np.array([pow(5, j, m) for j in range(self.n)], np.int64)
+            self._ci_exps = rot         # CI slot j evaluates at psi^rot[j]
+            self._ci_slot_of = {int(e): j for j, e in enumerate(rot)}
+            # 2n-NTT output position holding exponent e: brev[(e-1)/2]
+            keep = self._brev[(rot - 1) // 2]
+            src = np.empty(self.lift_n, np.int64)
+            for p2 in range(self.lift_n):
+                e = int(self._pos_to_exp[p2])
+                j = self._ci_slot_of.get(e)
+                if j is None:
+                    j = self._ci_slot_of[m - e]
+                src[p2] = j
+            self.ci_keep = keep.astype(np.int32)
+            self.ci_src = src.astype(np.int32)
+            base = HostRing(self.primes, self.lift_n, self.psis)
+            from .ref import CIHostRing
+            self.host = CIHostRing(base, self.n, self.ci_keep, self.ci_src)
+        else:
+            self.ci_keep = None
+            self.ci_src = None
+            self.host = HostRing(self.primes, self.n, self.psis)
 
         self._build_device_tables()
         self.ks_tables = {l: self._build_level_tables(l)
                           for l in range(self.n_q)}
         self._perm_cache: dict[int, np.ndarray] = {}
-
-        # slot <-> evaluation-point bookkeeping for automorphisms/encoding
-        self._brev = bit_reverse_indices(self.n)
-        # NTT-domain position j holds the evaluation at psi^(2*bitrev(j)+1)
-        self._pos_to_exp = (2 * self._brev + 1) % two_n
 
     # ------------------------------------------------------------------ #
     #  Device tables                                                     #
@@ -123,7 +157,7 @@ class CKKSContext:
     def _build_device_tables(self):
         import jax.numpy as jnp
 
-        n, n_all = self.n, self.n_all
+        n, n_all = self.lift_n, self.n_all
         p_arr = np.zeros(n_all, np.uint32)
         pinv = np.zeros(n_all, np.uint32)
         r_mod = np.zeros(n_all, np.uint32)
@@ -157,6 +191,9 @@ class CKKSContext:
             "itw": as_dev(itw), "itw_shoup": as_dev(itw_sh),
             "ninv": as_dev(ninv), "ninv_shoup": as_dev(ninv_sh),
         }
+        if self.ci_keep is not None:
+            self.dev["ci_keep"] = as_dev(self.ci_keep)
+            self.dev["ci_src"] = as_dev(self.ci_src)
 
     # ------------------------------------------------------------------ #
     #  Key-switch constants                                              #
@@ -243,28 +280,38 @@ class CKKSContext:
     def automorphism_perm(self, k: int) -> np.ndarray:
         """NTT-domain permutation for tau_k: out[j] = in[perm[j]].
 
-        Position j evaluates at psi^e(j) with e(j) = 2*bitrev(j)+1; tau_k maps
-        that to the evaluation at psi^(e(j)*k), i.e. input position j' with
-        e(j') = e(j)*k mod 2N.
+        Standard ring: position j evaluates at psi^e(j) with
+        e(j) = 2*bitrev(j)+1; tau_k maps that to the evaluation at
+        psi^(e(j)*k), i.e. input position j' with e(j') = e(j)*k mod 2N.
+        CI ring: position j evaluates at psi^(5^j); tau_k sends it to the
+        orbit representative of +-(5^j * k).
         """
-        k = k % (2 * self.n)
+        k = k % self.gal_mod
         if k in self._perm_cache:
             return self._perm_cache[k]
-        two_n = 2 * self.n
-        e = self._pos_to_exp
-        e_src = (e * k) % two_n
-        # invert e(j') = 2*bitrev(j')+1  =>  j' = bitrev((e_src-1)/2)
-        j_src = self._brev[(e_src - 1) // 2]
-        perm = j_src.astype(np.int32)
+        if self.ring_type == "conjugate_invariant":
+            m = self.gal_mod
+            e_src = (self._ci_exps * k) % m
+            perm = np.array(
+                [self._ci_slot_of.get(int(e), self._ci_slot_of.get(m - int(e)))
+                 for e in e_src], np.int32)
+        else:
+            e = self._pos_to_exp
+            e_src = (e * k) % self.gal_mod
+            # invert e(j') = 2*bitrev(j')+1  =>  j' = bitrev((e_src-1)/2)
+            perm = self._brev[(e_src - 1) // 2].astype(np.int32)
         self._perm_cache[k] = perm
         return perm
 
     def galois_element(self, rot: int) -> int:
         """Galois element for a left rotation by `rot` slots."""
-        return pow(5, rot % self.slots, 2 * self.n)
+        return pow(5, rot % self.slots, self.gal_mod)
 
     def galois_element_conj(self) -> int:
-        return 2 * self.n - 1
+        """Conjugation element (identity on the CI ring: slots are real)."""
+        if self.ring_type == "conjugate_invariant":
+            return 1
+        return self.gal_mod - 1
 
     # ------------------------------------------------------------------ #
     #  Misc helpers                                                      #

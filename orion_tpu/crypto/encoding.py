@@ -24,34 +24,42 @@ from .context import CKKSContext
 class Encoder:
     def __init__(self, ctx: CKKSContext):
         self.ctx = ctx
-        n = ctx.n
-        two_n = 2 * n
+        # embedding runs in the NTT (lift) ring: degree n for the standard
+        # ring, 2n for conjugate-invariant (whose elements are the
+        # conjugation-symmetric half of the 2n ring — all slots real)
+        self.emb_n = ctx.lift_n
+        two_m = 2 * self.emb_n
         slots = ctx.slots
         e = np.empty(slots, dtype=np.int64)
         acc = 1
         for j in range(slots):
             e[j] = acc
-            acc = (acc * 5) % two_n
-        self.rot_group = e  # e_j = 5^j mod 2N
+            acc = (acc * 5) % two_m
+        self.rot_group = e  # e_j = 5^j mod 2*emb_n
 
     # -------------------- embedding -------------------- #
 
     def slots_to_coeffs(self, v: np.ndarray) -> np.ndarray:
-        """Inverse canonical embedding: slots (complex, len N/2) -> real coeffs.
+        """Inverse canonical embedding: slots -> real coeffs (stored width).
 
-        a_k = (2/N) * Re( sum_j v_j * conj(psi^(k e_j)) ), computed by placing
-        v_j at spectrum position e_j and taking a length-2N FFT.
+        a_k = (2/M) * Re( sum_j v_j * conj(psi^(k e_j)) ), computed by
+        placing v_j at spectrum position e_j and taking a length-2M FFT.
+        CI ring: v is real (slots = n); the resulting lift coefficients
+        are antisymmetric and the stored first n are returned.
         """
-        n, two_n = self.ctx.n, 2 * self.ctx.n
-        spec = np.zeros(two_n, dtype=np.complex128)
+        m, two_m = self.emb_n, 2 * self.emb_n
+        spec = np.zeros(two_m, dtype=np.complex128)
         spec[self.rot_group] = v
-        a = np.fft.fft(spec)[:n]
-        return (2.0 / n) * a.real
+        a = (2.0 / m) * np.fft.fft(spec)[:m].real
+        return a[: self.ctx.n]
 
     def coeffs_to_slots(self, a: np.ndarray) -> np.ndarray:
-        """Canonical embedding: real coeffs (len N) -> slots (complex, N/2)."""
-        two_n = 2 * self.ctx.n
-        vals = np.fft.ifft(a, two_n) * two_n
+        """Canonical embedding: stored coeffs -> slot values."""
+        two_m = 2 * self.emb_n
+        if self.ctx.ring_type == "conjugate_invariant":
+            from .ref import ci_lift_int
+            a = ci_lift_int(np.asarray(a, dtype=np.float64))
+        vals = np.fft.ifft(a, two_m) * two_m
         return vals[self.rot_group]
 
     # -------------------- integer paths -------------------- #

@@ -123,16 +123,24 @@ class KeyChest:
 
     def galois_key(self, k: int) -> KeySwitchKey:
         """KSK from tau_k(s) to s, cached per Galois element."""
-        k = k % (2 * self.ctx.n)
+        k = k % self.ctx.gal_mod
         if k not in self.galois_keys:
             ctx = self.ctx
-            # automorphism over signed coeffs, exact on the +-1 entries
-            sk = np.zeros(ctx.n, dtype=np.int64)
-            idx = (np.arange(ctx.n, dtype=np.int64) * k) % (2 * ctx.n)
-            hi = idx >= ctx.n
-            pos = np.where(hi, idx - ctx.n, idx)
-            sk[pos] = np.where(hi, -self.s_coeff, self.s_coeff)
-            s_rot_ntt = ctx.host.ntt(self._lift(sk, ctx.n_all))
+            # automorphism over signed coeffs, exact on the +-1 entries;
+            # CI ring: apply in the 2n lift and project back (tau_k
+            # preserves conjugation-invariance)
+            if ctx.ring_type == "conjugate_invariant":
+                from .ref import ci_lift_int
+                src = ci_lift_int(self.s_coeff)
+            else:
+                src = self.s_coeff
+            m = src.shape[0]
+            sk = np.zeros(m, dtype=np.int64)
+            idx = (np.arange(m, dtype=np.int64) * k) % (2 * m)
+            hi = idx >= m
+            pos = np.where(hi, idx - m, idx)
+            sk[pos] = np.where(hi, -src, src)
+            s_rot_ntt = ctx.host.ntt(self._lift(sk[: ctx.n], ctx.n_all))
             self.galois_keys[k] = self._gen_ksk(s_rot_ntt)
         return self.galois_keys[k]
 

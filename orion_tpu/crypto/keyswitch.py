@@ -28,7 +28,7 @@ import numpy as np
 
 from .context import CKKSContext, DigitTables, LevelKSTables
 from .modops import add_mod, mul_mod, shoup_mul, sub_mod
-from .ntt import intt, ntt
+from .ntt import ci_intt, ci_ntt, intt, ntt
 
 
 @dataclass
@@ -84,6 +84,10 @@ class DevLevel:
     qlast_inv_shoup: jnp.ndarray
     qlast_half: jnp.ndarray        # scalar uint32 (q_l+1)//2
     ksk_rows: list[int]            # global prime rows used by this level
+    # conjugate-invariant ring: orbit index maps (None on the standard ring)
+    ci_keep: jnp.ndarray | None = None
+    ci_src: jnp.ndarray | None = None
+    ring_n: int = 0                # stored coefficient count
 
 
 def _dev_digit(dt: DigitTables, ctx: CKKSContext) -> DevDigit:
@@ -156,9 +160,27 @@ def _build_dev_level(ctx: CKKSContext, level: int, cache: dict) -> DevLevel:
         qlast_inv_shoup=jnp.asarray(lt.qlast_inv_shoup[:, None]),
         qlast_half=jnp.uint32((ctx.primes[level] + 1) // 2),
         ksk_rows=t_rows,
+        ci_keep=d.get("ci_keep"),
+        ci_src=d.get("ci_src"),
+        ring_n=ctx.n,
     )
     cache[level] = out
     return out
+
+
+def ring_ntt(a, tw, tw_shoup, p, dl: DevLevel):
+    """Forward NTT dispatching on the context's ring type."""
+    if dl.ci_keep is None:
+        return ntt(a, tw, tw_shoup, p)
+    return ci_ntt(a, tw, tw_shoup, p, dl.ci_keep)
+
+
+def ring_intt(a, itw, itw_shoup, ninv, ninv_shoup, p, dl: DevLevel):
+    """Inverse NTT dispatching on the context's ring type."""
+    if dl.ci_src is None:
+        return intt(a, itw, itw_shoup, ninv, ninv_shoup, p)
+    return ci_intt(a, itw, itw_shoup, ninv, ninv_shoup, p,
+                   dl.ci_src, dl.ring_n)
 
 
 # ------------------------------------------------------------------ #
@@ -193,13 +215,13 @@ def ks_decompose(c_ntt, dl: DevLevel):
     decomposition serves every rotation of the same ciphertext — the
     hoisting trick behind fast BSGS (Lattigo parity).
     """
-    c_coeff = intt(c_ntt, dl.q_itw, dl.q_itw_shoup,
-                   dl.q_ninv, dl.q_ninv_shoup, dl.q_p)
+    c_coeff = ring_intt(c_ntt, dl.q_itw, dl.q_itw_shoup,
+                        dl.q_ninv, dl.q_ninv_shoup, dl.q_p, dl)
     exts = []
     for dg in dl.digits:
         z = c_coeff[dg.src_lo:dg.src_hi]
         ext = fbc(z, dg, dl.t_p[:, None])
-        exts.append(ntt(ext, dl.t_tw, dl.t_tw_shoup, dl.t_p))
+        exts.append(ring_ntt(ext, dl.t_tw, dl.t_tw_shoup, dl.t_p, dl))
     return jnp.stack(exts)
 
 
@@ -259,10 +281,10 @@ def mod_down(x, dl: DevLevel):
     lvl = dl.level
     qpart = x[: lvl + 1]
     ppart = x[lvl + 1:]
-    pp_coeff = intt(ppart, dl.s_itw, dl.s_itw_shoup,
-                    dl.s_ninv, dl.s_ninv_shoup, dl.s_p)
+    pp_coeff = ring_intt(ppart, dl.s_itw, dl.s_itw_shoup,
+                         dl.s_ninv, dl.s_ninv_shoup, dl.s_p, dl)
     lift = fbc(pp_coeff, dl.moddown, dl.q_p[:, None])
-    lift_ntt = ntt(lift, dl.q_tw, dl.q_tw_shoup, dl.q_p)
+    lift_ntt = ring_ntt(lift, dl.q_tw, dl.q_tw_shoup, dl.q_p, dl)
     diff = sub_mod(qpart, lift_ntt, dl.q_p[:, None])
     return shoup_mul(diff, dl.pinv_mod_q, dl.pinv_mod_q_shoup, dl.q_p[:, None])
 
@@ -279,16 +301,17 @@ def rescale_poly(c, dl: DevLevel):
     lvl = dl.level
     last_ntt = c[..., lvl: lvl + 1, :]
     # single-limb iNTT using the last Q row's tables
-    last = intt(last_ntt, dl.q_itw[lvl:], dl.q_itw_shoup[lvl:],
-                dl.q_ninv[lvl:], dl.q_ninv_shoup[lvl:],
-                dl.q_p[lvl:])[..., 0, :]
+    last = ring_intt(last_ntt, dl.q_itw[lvl:], dl.q_itw_shoup[lvl:],
+                     dl.q_ninv[lvl:], dl.q_ninv_shoup[lvl:],
+                     dl.q_p[lvl:], dl)[..., 0, :]
     # centered lift of `last` into each remaining modulus
     red = shoup_mul(last[..., None, :], jnp.uint32(1),
                     dl.one_shoup_q[:lvl], dl.q_p[: lvl, None])
     v = (last >= dl.qlast_half)[..., None, :]
     y = sub_mod(red, jnp.where(v, dl.qlast_mod_t, jnp.uint32(0)),
                 dl.q_p[: lvl, None])
-    y_ntt = ntt(y, dl.q_tw[:lvl], dl.q_tw_shoup[:lvl], dl.q_p[:lvl])
+    y_ntt = ring_ntt(y, dl.q_tw[:lvl], dl.q_tw_shoup[:lvl],
+                     dl.q_p[:lvl], dl)
     diff = sub_mod(c[..., :lvl, :], y_ntt, dl.q_p[: lvl, None])
     return shoup_mul(diff, dl.qlast_inv, dl.qlast_inv_shoup,
                      dl.q_p[: lvl, None])

@@ -69,7 +69,7 @@ def build_key_pack(ev: Evaluator, amounts, level: int | None = None) -> KeyPack:
         cache = ev._key_packs = {}
     if key in cache:
         return cache[key]
-    two_n = 2 * ev.ctx.n
+    two_n = ev.ctx.gal_mod
     lean = bool(getattr(ev, "lean_keys", False))
     if level is not None:
         from .keyswitch import dev_level

@@ -66,3 +66,33 @@ def intt(a, itw, itw_shoup, ninv, ninv_shoup, p):
         t *= 2
     pb = p.reshape((L, 1))
     return shoup_mul(a, ninv.reshape(L, 1), ninv_shoup.reshape(L, 1), pb)
+
+
+# ------------------------------------------------------------------ #
+#  Conjugate-invariant ring (route through the 2n lift)              #
+# ------------------------------------------------------------------ #
+
+def ci_lift(a, p):
+    """Lift CI coefficients (..., L, n) to the 2n antisymmetric standard
+    representative (..., L, 2n): (a_0..a_{n-1}, 0, -a_{n-1}..-a_1) mod p.
+
+    `p` is the per-limb modulus (L,) broadcast over the tail coefficients.
+    """
+    tail = jnp.flip(a[..., 1:], axis=-1)
+    pb = p.reshape((-1, 1))
+    neg = jnp.where(tail == 0, jnp.uint32(0), pb - tail)
+    zeros = jnp.zeros(a.shape[:-1] + (1,), a.dtype)
+    return jnp.concatenate([a, zeros, neg], axis=-1)
+
+
+def ci_ntt(a, tw, tw_shoup, p, keep):
+    """CI forward transform: lift -> 2n negacyclic NTT -> keep the n orbit
+    representatives (CI eval position j = evaluation at psi^(5^j))."""
+    return ntt(ci_lift(a, p), tw, tw_shoup, p)[..., keep]
+
+
+def ci_intt(v, itw, itw_shoup, ninv, ninv_shoup, p, src, n):
+    """CI inverse: replicate each value onto both orbit positions (CI
+    elements take equal values at e and -e), 2n iNTT, project to the
+    first n coefficients (the tail is the antisymmetric mirror)."""
+    return intt(v[..., src], itw, itw_shoup, ninv, ninv_shoup, p)[..., :n]

@@ -148,3 +148,69 @@ class HostRing:
         for i in range(num_limbs):
             out[i] = np.asarray(coeffs % self.rings[i].p, dtype=np.int64)
         return out
+
+
+# ------------------------------------------------------------------ #
+#  Conjugate-invariant ring (real slots)                             #
+# ------------------------------------------------------------------ #
+
+def ci_lift_int(a: np.ndarray, p: int | None = None) -> np.ndarray:
+    """Lift CI coefficients (n,) to the 2n-degree standard ring.
+
+    A conjugate-invariant element f = a_0 + sum_i a_i (X^i + X^{-i}) of
+    Z[X]/(X^{2n}+1) has power-basis coefficients
+    (a_0, a_1, .., a_{n-1}, 0, -a_{n-1}, .., -a_1) since X^{-i} = -X^{2n-i}.
+    With `p` given, negation is mod p (residue inputs); otherwise signed.
+    """
+    n = a.shape[-1]
+    tail = a[..., 1:][..., ::-1]
+    if p is None:
+        neg = -tail
+    else:
+        neg = np.where(tail == 0, 0, p - tail)
+    zeros = np.zeros(a.shape[:-1] + (1,), a.dtype)
+    return np.concatenate([a, zeros, neg], axis=-1)
+
+
+class CIHostRing:
+    """Conjugate-invariant host ring of degree n (real slots = n).
+
+    Elements are stored as n coefficients (the X^i + X^{-i} basis);
+    NTT/iNTT route through the 2n-degree standard ring: lift -> 2n NTT ->
+    keep the n orbit-representative positions (exponents 5^j mod 4n);
+    inverse: replicate each value onto both orbit positions (CI elements
+    take equal values at e and -e), 2n iNTT, project to the first n
+    coefficients (the tail is the lift's antisymmetric mirror).
+    """
+
+    def __init__(self, base: HostRing, n: int,
+                 keep: np.ndarray, src: np.ndarray):
+        self.base = base
+        self.primes = base.primes
+        self.rings = base.rings        # 2n-degree tables (device build)
+        self.n = n
+        self.keep = keep               # (n,) positions kept after 2n NTT
+        self.src = src                 # (2n,) CI slot feeding each position
+
+    def ntt(self, a: np.ndarray) -> np.ndarray:
+        assert a.shape[1] == self.n, a.shape
+        out = np.empty_like(a)
+        for i in range(a.shape[0]):
+            p = self.rings[i].p
+            g = ci_lift_int(a[i], p)
+            out[i] = self.rings[i].ntt(g)[self.keep]
+        return out
+
+    def intt(self, a: np.ndarray) -> np.ndarray:
+        assert a.shape[1] == self.n, a.shape
+        out = np.empty_like(a)
+        for i in range(a.shape[0]):
+            g = self.rings[i].intt(a[i][self.src])
+            out[i] = g[: self.n]
+        return out
+
+    def reduce(self, coeffs: np.ndarray, num_limbs: int) -> np.ndarray:
+        out = np.zeros((num_limbs, self.n), dtype=np.int64)
+        for i in range(num_limbs):
+            out[i] = np.asarray(coeffs % self.rings[i].p, dtype=np.int64)
+        return out

@@ -60,13 +60,20 @@ class Bootstrap(Module):
         half_range = (self.input_max - self.input_min) / 2
         self.low = center - self.margin * half_range
         self.high = center + self.margin * half_range
-        # scale into [-1/ratio, 1/ratio] by 1/integer so the return trip
-        # (by the integer) consumes no level.  ratio > 1 keeps the EvalMod
-        # sine linearisation error below the noise floor when q0 is a
-        # single <=30-bit prime (see crypto/bootstrap.py).
-        ratio = 8
+        # Residual headroom prescale (power of two so the postscale return
+        # trip consumes no level): the bootstrapper prescales messages to
+        # Delta_boot = D*Delta ~ q0/MsgRatio with an exact integer D
+        # (crypto/bootstrap.py); only when q0 is too narrow for D to reach
+        # the target ratio does the module squeeze the message by the
+        # remaining 2^gap so the EvalMod sine linearisation error stays
+        # ~MsgRatio^-2 regardless of parameters.
+        ratio = 1
         if self.scheme is not None and getattr(self.scheme.params, "boot", None):
-            ratio = int(self.scheme.params.boot.get("MsgRatio", 8))
+            p = self.scheme.params
+            R = int(p.boot.get("MsgRatio", 256))
+            q0_bits = sum(p.logq[: p.base_level + 1])
+            gap = p.logscale + (R - 1).bit_length() - q0_bits
+            ratio = (1 << gap) if gap > 0 else 1
         post = max(1, math.ceil((self.high - self.low) / 2)) * ratio
         # quantise up to a power of two: prescale*postscale stays exactly 1
         # and bootstraps with ranges within 2x share a program signature

@@ -98,6 +98,7 @@ def _bootstrapper_swaps(btp):
     for tr in list(btp.cts_transforms) + list(btp.stc_transforms):
         out.extend(_scan_transform_swaps(tr))
     out.extend(_plaintext_swaps(btp, "minus_i_pt"))
+    out.extend(_plaintext_swaps(btp, "one_u_pt"))
     out.extend(_plaintext_swaps(btp, "plus_i_pt"))
     packs = getattr(btp.ev, "_key_packs", {})
     for pk in btp.pack_keys:

@@ -11,8 +11,9 @@ TPU adjustments:
     reference's level accounting (l_eff = len(LogQ)-1) is preserved.
   * `backend:` accepts "tpu" (and silently maps the reference's backend
     names onto the TPU stack — there is only one backend here).
-  * RingType ConjugateInvariant is not implemented yet; configs using it
-    fall back to the standard ring with slots = N/2.
+  * RingType ConjugateInvariant gives the real-slot ring (slots = N,
+    reference default for the MLP/LoLA test configs); bootstrapping on it
+    is not implemented yet — bootstrapped configs use the standard ring.
 """
 
 from __future__ import annotations
@@ -64,6 +65,10 @@ class Params:
 
     @property
     def slots(self):
+        # ConjugateInvariant: all-real slots = N (reference
+        # `scheme.go:57-67`); standard: N/2 complex slots
+        if self.ring_type == "conjugate_invariant":
+            return self.n
         return self.n // 2
 
     @property
@@ -99,11 +104,13 @@ def parse_config(config: dict) -> Params:
     p.logp = list(ckks.get("LogP", p.logp))
     p.logscale = int(ckks.get("LogScale", p.logscale))
     p.h = int(ckks.get("H", p.h))
-    ring = str(ckks.get("RingType", "Standard")).lower()
-    if ring not in ("standard",):
-        print(f"[orion_tpu] RingType {ring!r} not supported yet; "
-              "falling back to the standard ring (slots = N/2)")
-    p.ring_type = "standard"
+    ring = str(ckks.get("RingType", "Standard")).lower().replace("_", "")
+    if ring == "conjugateinvariant":
+        p.ring_type = "conjugate_invariant"
+    elif ring == "standard":
+        p.ring_type = "standard"
+    else:
+        raise ValueError(f"unknown RingType {ring!r}")
     p.boot_logp = list(boot.get("LogP", []))
     if boot:
         from ..crypto.polyeval import hi_scale_depth
@@ -123,10 +130,15 @@ def parse_config(config: dict) -> Params:
             "StCLevels": max(int(boot.get("StCLevels", 3)), min_stc),
             "ModDegree": mod_degree,
             "K": int(boot.get("K", 16)),
-            "MsgRatio": int(boot.get("MsgRatio", 8)),
+            "MsgRatio": int(boot.get("MsgRatio", 256)),
             "ModDepth": hi_scale_depth(mod_degree),
             "CircuitLogQ": circuit_logq,
         }
+
+    if p.boot and p.ring_type == "conjugate_invariant":
+        raise NotImplementedError(
+            "bootstrapping on the ConjugateInvariant ring is not "
+            "implemented; use the standard ring for bootstrapped networks")
 
     p.margin = float(orion_cfg.get("margin", p.margin))
     p.embedding_method = str(

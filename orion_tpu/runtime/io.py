@@ -53,6 +53,60 @@ def load_secret_key(scheme, path: str) -> bool:
     return True
 
 
+# --------------------------- rotation keys --------------------------- #
+
+def _sk_digest(scheme) -> str:
+    import hashlib
+    return hashlib.sha256(
+        np.ascontiguousarray(scheme.keys.s_coeff)).hexdigest()[:16]
+
+
+def save_rotation_keys(scheme, path: str):
+    """Persist the evaluation keys surviving compile (reference parity:
+    `orion/backend/python/lt_evaluator.py:283-321` rotation-key HDF5).
+
+    Only raw key data is stored; Shoup companions are recomputed on load
+    (they are a pure function of the data — half the file size).  Keys are
+    bound to the generating secret key via a digest so a stale file cannot
+    silently decrypt to noise.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fp = _params_fingerprint(scheme.params) + ";sk=" + _sk_digest(scheme)
+    with h5py.File(path, "a") as f:
+        if "rotation_keys" in f:
+            del f["rotation_keys"]
+        g = f.create_group("rotation_keys")
+        g.attrs["fingerprint"] = fp
+        g.create_dataset("relin", data=np.asarray(scheme.keys.relin_key.data))
+        for k, ksk in scheme.keys.galois_keys.items():
+            g.create_dataset(f"galois_{int(k)}", data=np.asarray(ksk.data))
+
+
+def load_rotation_keys(scheme, path: str) -> bool:
+    """Fill the KeyChest's lazy caches from a saved key file; any rotation
+    not present simply regenerates on first use."""
+    if not os.path.exists(path):
+        return False
+    from ..crypto.keys import KeySwitchKey
+    fp = _params_fingerprint(scheme.params) + ";sk=" + _sk_digest(scheme)
+    with h5py.File(path, "r") as f:
+        if "rotation_keys" not in f:
+            return False
+        g = f["rotation_keys"]
+        if g.attrs.get("fingerprint") != fp:
+            raise ValueError(
+                "saved rotation keys belong to different parameters or a "
+                "different secret key; regenerate with io_mode: save")
+        for name, ds in g.items():
+            data = np.asarray(ds)
+            if name == "relin":
+                scheme.keys.relin_key = KeySwitchKey(data, scheme.ctx)
+            elif name.startswith("galois_"):
+                k = int(name.split("_", 1)[1])
+                scheme.keys.galois_keys[k] = KeySwitchKey(data, scheme.ctx)
+    return True
+
+
 # ----------------------------- diagonals ----------------------------- #
 
 def save_layer_diagonals(params, layer, path: str):

@@ -51,8 +51,9 @@ class Scheme:
         self.enc = Encoder(self.ctx)
         self.keys = KeyChest(self.ctx)
         if p.io_mode == "load" and p.keys_path:
-            from .io import load_secret_key
+            from .io import load_rotation_keys, load_secret_key
             load_secret_key(self, p.keys_path)
+            load_rotation_keys(self, p.keys_path)
         elif p.io_mode == "save" and p.keys_path:
             from .io import save_secret_key
             save_secret_key(self, p.keys_path)
@@ -208,6 +209,12 @@ class Scheme:
                 if pb is not None:
                     pb.compile()
 
+        # save BEFORE trimming: trimmed originals live on only inside
+        # KeyPacks, and a future `load` run rebuilds its packs from the
+        # saved originals
+        if self.params.io_mode == "save" and self.params.keys_path:
+            from .io import save_rotation_keys
+            save_rotation_keys(self, self.params.keys_path)
         self._trim_key_memory(net)
         self.input_level = input_level
         return input_level

@@ -199,38 +199,50 @@ class PolyEvaluatorService:
 
 
 class BootstrapperService:
-    """Per-slot-count bootstrappers (reference `bootstrapper.py`).
-
-    Sparse slot counts currently share the full-slot bootstrapper (correct —
-    unused slots are zeroed by the Bootstrap module's prescale — but without
-    the sparse speedup yet)."""
+    """Per-slot-count bootstrappers (reference `bootstrapper.py`,
+    `bootstrapper.go:14-58`): tensors occupying s < slots get an s-point
+    circuit whose CtS/StC stages are exponentially cheaper (sparse
+    bootstrapping)."""
 
     def __init__(self, scheme):
         self.scheme = scheme
-        self.full = None
+        self._by_slots: dict[int, object] = {}
 
-    def _get_full(self):
+    def _slot_key(self, slot_count) -> int:
+        ctx = self.scheme.ctx
+        p = self.scheme.params
+        if not slot_count:
+            return ctx.slots
+        s = min(int(slot_count), ctx.slots)
+        if p.boot:
+            # the circuit needs >= one butterfly stage per grouped level
+            s = max(s, 1 << max(p.boot["CtSLevels"], p.boot["StCLevels"]))
+        return s
+
+    def _build(self, s: int):
         from ..crypto.bootstrap import Bootstrapper
-        if self.full is None:
-            p = self.scheme.params
-            if not p.boot:
-                raise ValueError(
-                    "this network needs bootstrapping: add a `boot_params:` "
-                    "section to the config so circuit primes are provisioned")
-            self.full = Bootstrapper(
-                self.scheme,
-                cts_levels=p.boot["CtSLevels"],
-                stc_levels=p.boot["StCLevels"],
-                mod_degree=p.boot["ModDegree"],
-                K=p.boot["K"])
-        return self.full
+        p = self.scheme.params
+        if not p.boot:
+            raise ValueError(
+                "this network needs bootstrapping: add a `boot_params:` "
+                "section to the config so circuit primes are provisioned")
+        return Bootstrapper(
+            self.scheme,
+            slots=s,
+            cts_levels=p.boot["CtSLevels"],
+            stc_levels=p.boot["StCLevels"],
+            mod_degree=p.boot["ModDegree"],
+            K=p.boot["K"])
 
     def generate_bootstrapper(self, slot_count):
-        return self._get_full()
+        return self.get_for_slots(slot_count)
 
     def get_for_slots(self, slot_count):
         """The bootstrapper instance serving a given sparse slot count."""
-        return self._get_full()
+        s = self._slot_key(slot_count)
+        if s not in self._by_slots:
+            self._by_slots[s] = self._build(s)
+        return self._by_slots[s]
 
     def bootstrap(self, ct, slots):
         return self.get_for_slots(slots).bootstrap(ct, slots)

@@ -8,6 +8,10 @@ backend is instantiated) rather than via JAX_PLATFORMS.
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# silence XLA:CPU AOT cache-load feature-mismatch LOG(ERROR) spam: cache
+# entries written by the axon-site interpreter advertise compile-option
+# pseudo-features (prefer-no-scatter/gather) the plain loader logs about
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 
