@@ -28,6 +28,10 @@ def main():
         Path(__file__).parent.parent / "configs" / "resnet.yml"))
     ap.add_argument("--fhe", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--whole-jit", action="store_true",
+                    help="trace the full net into one XLA program "
+                         "(only viable for shallow nets; default is "
+                         "per-module jit, required for ResNet depth)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -52,12 +56,23 @@ def main():
 
     ct = orion.encrypt(orion.encode(inp, input_level))
     net.he()
-    forward = make_jitted_forward(net, scheme)
+    if args.whole_jit:
+        forward = make_jitted_forward(net, scheme)
+    else:
+        from orion_tpu.runtime.jit import enable_module_jit
+        enable_module_jit(scheme)
+        forward = net
     start = time.time()
     out = forward(ct)
     import jax
     jax.block_until_ready(out.cts[0].data)
     print(f"first encrypted forward: {time.time()-start:.1f}s")
+    # steady state: repeated modules hit the per-signature program cache
+    ct2 = orion.encrypt(orion.encode(inp, input_level))
+    start = time.time()
+    out2 = forward(ct2)
+    jax.block_until_ready(out2.cts[0].data)
+    print(f"steady-state encrypted forward: {time.time()-start:.1f}s")
     out_fhe = np.asarray(out.decrypt().decode()).reshape(-1)
     clear = np.asarray(out_clear).reshape(-1)
     print("MAE:", mae(clear, out_fhe[: clear.size]))

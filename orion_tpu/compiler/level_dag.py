@@ -226,8 +226,31 @@ class BootstrapSolver:
             li = int(np.argmin(total)) + self.base
         else:
             li = fixed_in
+        if not math.isfinite(float(np.min(M[li - self.base]))):
+            deep = self._deepest_unit(chain)
+            raise ValueError(
+                "no feasible level assignment: network cannot run even with "
+                "bootstrapping.  Deepest single unit is "
+                f"'{deep[0]}' with depth {deep[1]} vs l_eff={self.l_eff} "
+                "usable levels — lengthen the LogQ modulus chain or reduce "
+                "the unit's multiplicative depth (e.g. smaller activation "
+                "degrees).")
         self._backtrack_chain(chain, li)
         return float(np.min(M[li - self.base])), li
+
+    def _deepest_unit(self, chain):
+        worst = ("?", -1)
+        for item in chain:
+            if isinstance(item, Unit):
+                d = item.module.depth or 0
+                if d > worst[1]:
+                    worst = (item.name, d)
+            else:
+                for b in item.branches:
+                    w = self._deepest_unit(b)
+                    if w[1] > worst[1]:
+                        worst = w
+        return worst
 
     def _backtrack_chain(self, chain, li):
         """Assign levels through the chain starting with input level li."""
