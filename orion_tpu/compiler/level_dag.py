@@ -33,8 +33,28 @@ from ..nn.operations import Add, Bootstrap
 
 INF = float("inf")
 
+# Defaults are the reference's CPU/Lattigo fit (`level_dag.py:190-194,242-243`).
+# When `latency_tpu.json` exists next to this file (written by
+# tools/fit_latency.py from real-TPU microbenchmarks) its constants take
+# precedence — placement depends on the boot/LT cost ratio, which differs by
+# orders of magnitude between the CPU fit and the TPU backend.
 LT_ALPHA = 0.001
 BOOT_A, BOOT_B, BOOT_C = 3.41, 0.18, 4.81
+
+def _load_tpu_fit():
+    global LT_ALPHA, BOOT_A, BOOT_B, BOOT_C
+    import json
+    from pathlib import Path
+    p = Path(__file__).with_name("latency_tpu.json")
+    if p.exists():
+        d = json.loads(p.read_text())
+        LT_ALPHA = float(d["lt_alpha"])
+        BOOT_A = float(d["boot_a"])
+        BOOT_B = float(d["boot_b"])
+        BOOT_C = float(d["boot_c"])
+
+
+_load_tpu_fit()
 
 
 def boot_latency(l_eff: int, num_cts: int) -> float:
