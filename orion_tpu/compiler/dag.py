@@ -63,11 +63,16 @@ class NetworkDAG(nx.DiGraph):
     # ----------------- fused BN removal ----------------- #
 
     def remove_fused_batchnorms(self):
-        """Splice out modules marked fused, reconnecting parents to children
-        (reference `network_dag.py:125-148`)."""
+        """Splice out fused BATCHNORMS, reconnecting parents to children
+        (reference `network_dag.py:125-148`).  Only BNs leave the graph: a
+        fused Chebyshev merely had its [-1,1] prescale folded upstream and
+        still evaluates its polynomial, so it must keep its DAG node (and
+        receive a level + compile())."""
+        from ..nn.normalization import BatchNormNd
         for name in list(self.nodes):
             module = self.nodes[name]["module"]
-            if getattr(module, "fused", False):
+            if getattr(module, "fused", False) and \
+                    isinstance(module, BatchNormNd):
                 preds = list(self.predecessors(name))
                 succs = list(self.successors(name))
                 self.remove_node(name)

@@ -186,19 +186,16 @@ def compile_transform_scan(encoder, diagonals, level, slots,
     g_index = {g: i for i, g in enumerate(giants)}
     b_index = {b: i for i, b in enumerate(babies)}
 
-    pts, pts_sh, b_pos, g_pos = [], [], [], []
-    for g, b, v in entries:
-        data, shoup, _ = encoder.encode(v, level=level, scale=ql,
-                                        with_shoup=True)
-        pts.append(data.astype(np.uint32))
-        pts_sh.append(shoup)
-        b_pos.append(b_index[b])
-        g_pos.append(g_index[g])
+    vecs = np.stack([v for _, _, v in entries])
+    data, shoup, _ = encoder.encode_batch(vecs, level=level, scale=ql,
+                                          with_shoup=True)
+    b_pos = [b_index[b] for _, b, _ in entries]
+    g_pos = [g_index[g] for g, _, _ in entries]
 
     return ScanTransform(
         level=level, n1=n1, pt_scale=ql,
-        pts=jnp.asarray(np.stack(pts)),
-        pts_shoup=jnp.asarray(np.stack(pts_sh)),
+        pts=jnp.asarray(data.astype(np.uint32)),
+        pts_shoup=jnp.asarray(shoup),
         b_pos=jnp.asarray(np.array(b_pos, np.int32)),
         g_pos=jnp.asarray(np.array(g_pos, np.int32)),
         babies_full=tuple(babies),

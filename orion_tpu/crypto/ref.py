@@ -59,43 +59,47 @@ class PrimeRing:
         self.ninv = pow(n, p - 2, p)
 
     def ntt(self, a: np.ndarray) -> np.ndarray:
-        """Forward negacyclic NTT, standard-order input -> bit-rev order output."""
+        """Forward negacyclic NTT, standard-order input -> bit-rev order
+        output.  Accepts any leading batch shape (..., n); the butterfly
+        stages vectorise over the whole batch (the compile-time encode of
+        hundreds of diagonals rides this path)."""
         p, n = self.p, self.n
-        a = a.astype(np.int64).copy()
+        shape = a.shape
+        a = a.astype(np.int64).reshape(-1, n).copy()
+        b = a.shape[0]
         t = n
         m = 1
         while m < n:
             t //= 2
-            # view as (m, 2, t): butterfly between the two halves of each group
-            v = a.reshape(m, 2, t)
+            # view as (b, m, 2, t): butterfly between group halves
+            v = a.reshape(b, m, 2, t)
             s = self.tw[m : 2 * m].reshape(m, 1)
-            odd = v[:, 1, :] * s % p
-            even = v[:, 0, :]
-            a = np.concatenate(
-                [((even + odd) % p)[:, None, :], ((even - odd) % p)[:, None, :]],
-                axis=1,
-            ).reshape(-1)
+            odd = v[:, :, 1, :] * s % p
+            even = v[:, :, 0, :]
+            a = np.stack([(even + odd) % p, (even - odd) % p],
+                         axis=2).reshape(b, -1)
             m *= 2
-        return a
+        return a.reshape(shape)
 
     def intt(self, a: np.ndarray) -> np.ndarray:
-        """Inverse NTT, bit-rev order input -> standard-order output."""
+        """Inverse NTT, bit-rev order input -> standard-order output.
+        Accepts any leading batch shape (..., n) like `ntt`."""
         p, n = self.p, self.n
-        a = a.astype(np.int64).copy()
+        shape = a.shape
+        a = a.astype(np.int64).reshape(-1, n).copy()
+        b = a.shape[0]
         t = 1
         m = n
         while m > 1:
             m //= 2
-            v = a.reshape(m, 2, t)
+            v = a.reshape(b, m, 2, t)
             s = self.itw[m : 2 * m].reshape(m, 1)
-            u = v[:, 0, :]
-            w = v[:, 1, :]
-            a = np.concatenate(
-                [((u + w) % p)[:, None, :], ((u - w) * s % p)[:, None, :]],
-                axis=1,
-            ).reshape(-1)
+            u = v[:, :, 0, :]
+            w = v[:, :, 1, :]
+            a = np.stack([(u + w) % p, (u - w) * s % p],
+                         axis=2).reshape(b, -1)
             t *= 2
-        return a * self.ninv % p
+        return (a * self.ninv % p).reshape(shape)
 
     def poly_mul(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         """Negacyclic product of two coefficient-domain polys."""
@@ -133,20 +137,26 @@ class HostRing:
         self.rings = [PrimeRing(p, n, psi) for p, psi in zip(primes, psis)]
 
     def ntt(self, a: np.ndarray) -> np.ndarray:
-        return np.stack([r.ntt(a[i]) for i, r in enumerate(self._sel(a))])
+        """(..., L, n) -> per-limb NTT; batch dims vectorise in PrimeRing."""
+        return np.stack([r.ntt(a[..., i, :])
+                         for i, r in enumerate(self._sel(a))], axis=-2)
 
     def intt(self, a: np.ndarray) -> np.ndarray:
-        return np.stack([r.intt(a[i]) for i, r in enumerate(self._sel(a))])
+        return np.stack([r.intt(a[..., i, :])
+                         for i, r in enumerate(self._sel(a))], axis=-2)
 
     def _sel(self, a: np.ndarray):
-        assert a.ndim == 2 and a.shape[1] == self.n, a.shape
-        return self.rings[: a.shape[0]]
+        assert a.ndim >= 2 and a.shape[-1] == self.n, a.shape
+        return self.rings[: a.shape[-2]]
 
     def reduce(self, coeffs: np.ndarray, num_limbs: int) -> np.ndarray:
-        """Signed integer coefficients (object or int64) -> RNS residues."""
-        out = np.zeros((num_limbs, self.n), dtype=np.int64)
+        """Signed integer coefficients (object or int64, any batch shape
+        (..., n)) -> RNS residues (..., num_limbs, n)."""
+        out = np.zeros(coeffs.shape[:-1] + (num_limbs, self.n),
+                       dtype=np.int64)
         for i in range(num_limbs):
-            out[i] = np.asarray(coeffs % self.rings[i].p, dtype=np.int64)
+            out[..., i, :] = np.asarray(coeffs % self.rings[i].p,
+                                        dtype=np.int64)
         return out
 
 
@@ -193,24 +203,28 @@ class CIHostRing:
         self.src = src                 # (2n,) CI slot feeding each position
 
     def ntt(self, a: np.ndarray) -> np.ndarray:
-        assert a.shape[1] == self.n, a.shape
+        assert a.ndim >= 2 and a.shape[-1] == self.n, a.shape
+        nl = a.shape[-2]
         out = np.empty_like(a)
-        for i in range(a.shape[0]):
+        for i in range(nl):
             p = self.rings[i].p
-            g = ci_lift_int(a[i], p)
-            out[i] = self.rings[i].ntt(g)[self.keep]
+            g = ci_lift_int(a[..., i, :], p)
+            out[..., i, :] = self.rings[i].ntt(g)[..., self.keep]
         return out
 
     def intt(self, a: np.ndarray) -> np.ndarray:
-        assert a.shape[1] == self.n, a.shape
+        assert a.ndim >= 2 and a.shape[-1] == self.n, a.shape
+        nl = a.shape[-2]
         out = np.empty_like(a)
-        for i in range(a.shape[0]):
-            g = self.rings[i].intt(a[i][self.src])
-            out[i] = g[: self.n]
+        for i in range(nl):
+            g = self.rings[i].intt(a[..., i, :][..., self.src])
+            out[..., i, :] = g[..., : self.n]
         return out
 
     def reduce(self, coeffs: np.ndarray, num_limbs: int) -> np.ndarray:
-        out = np.zeros((num_limbs, self.n), dtype=np.int64)
+        out = np.zeros(coeffs.shape[:-1] + (num_limbs, self.n),
+                       dtype=np.int64)
         for i in range(num_limbs):
-            out[i] = np.asarray(coeffs % self.rings[i].p, dtype=np.int64)
+            out[..., i, :] = np.asarray(coeffs % self.rings[i].p,
+                                        dtype=np.int64)
         return out

@@ -149,6 +149,36 @@ def collect_swappables(scheme, module) -> list[Swappable]:
     return out
 
 
+def spill_swaps_to_host(swaps) -> int:
+    """Move device buffers to host numpy, freeing their HBM.
+
+    The TPU analog of the reference's io_mode eviction
+    (`lt_evaluator.py:176-189`, load-per-transform / evict-after-use): with
+    `orion: io_mode: stream`, every module's compiled buffers (diagonals,
+    KeyPacks, bootstrapper circuits) are spilled right after that module
+    compiles, so compile-time HBM holds only the module being built; at
+    inference the per-module jit passes them as call ARGUMENTS, so device
+    residency is bounded by one module's working set instead of the whole
+    network's gigabytes.  Returns bytes spilled."""
+    import jax
+    moved = 0
+    for sw in swaps:
+        v = sw.getter()
+        if isinstance(v, jax.Array):
+            host = np.asarray(v)
+            sw.setter(host)
+            moved += int(host.nbytes)
+    return moved
+
+
+def spill_module_to_host(scheme, module) -> int:
+    try:
+        swaps = collect_swappables(scheme, module)
+    except Exception:
+        return 0
+    return spill_swaps_to_host(swaps)
+
+
 def buffer_bytes(swaps) -> int:
     total = 0
     for sw in swaps:

@@ -191,12 +191,21 @@ class Scheme:
         input_level, num_btp, btp_slots = solver.solve()
         print(f"done! [{time.time() - start:.3f} secs.]")
         print(f"network requires {num_btp} bootstrap operation(s)")
+        stream = self.params.io_mode == "stream"
         for slot_count in btp_slots:
-            self.bootstrapper.generate_bootstrapper(slot_count)
+            btp = self.bootstrapper.generate_bootstrapper(slot_count)
+            if stream:
+                from .buffers import _bootstrapper_swaps, spill_swaps_to_host
+                spill_swaps_to_host(_bootstrapper_swaps(btp))
         BootstrapPlacer(net, dag, solver).place_bootstraps()
 
-        # per-module compile in topological order
+        # per-module compile in topological order.  With io_mode `stream`,
+        # each module's device buffers are spilled to host right after its
+        # compile — the TPU analog of the reference's io_mode eviction
+        # (`lt_evaluator.py:176-189`) — bounding compile-time HBM by one
+        # module instead of the whole network (the round-1 ResNet OOM).
         print("\n{5} Compiling network layers...", flush=True)
+        spilled = 0
         for node in topo:
             if node not in dag.nodes:
                 continue  # removed fused BN
@@ -208,6 +217,14 @@ class Scheme:
                 pb = getattr(module, "post_bootstrap", None)
                 if pb is not None:
                     pb.compile()
+                if stream:
+                    from .buffers import spill_module_to_host
+                    spilled += spill_module_to_host(self, module)
+                    if pb is not None:
+                        spilled += spill_module_to_host(self, pb)
+        if spilled:
+            print(f"|-- streamed {spilled / 1e9:.2f} GB of compiled buffers "
+                  "to host (io_mode: stream)", flush=True)
 
         # save BEFORE trimming: trimmed originals live on only inside
         # KeyPacks, and a future `load` run rebuilds its packs from the
