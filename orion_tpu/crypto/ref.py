@@ -21,6 +21,13 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import native
+
+
+def _shoup64(vals: np.ndarray, p: int) -> np.ndarray:
+    """floor(v * 2^64 / p) as uint64 (exact, via python bigints)."""
+    return ((vals.astype(object) << 64) // p).astype(np.uint64)
+
 
 def bit_reverse_indices(n: int) -> np.ndarray:
     logn = n.bit_length() - 1
@@ -57,6 +64,21 @@ class PrimeRing:
         self.tw = pows
         self.itw = ipows
         self.ninv = pow(n, p - 2, p)
+        self._nat = None  # lazy native (C++/OpenMP) tables
+
+    def _native_tables(self):
+        if self._nat is None:
+            p = self.p
+            self._nat = dict(
+                primes=np.array([p], np.int64),
+                tw=np.ascontiguousarray(self.tw[None]),
+                tw_shoup=np.ascontiguousarray(_shoup64(self.tw, p)[None]),
+                itw=np.ascontiguousarray(self.itw[None]),
+                itw_shoup=np.ascontiguousarray(_shoup64(self.itw, p)[None]),
+                ninv=np.array([self.ninv], np.int64),
+                ninv_shoup=_shoup64(np.array([self.ninv], np.int64), p),
+            )
+        return self._nat
 
     def ntt(self, a: np.ndarray) -> np.ndarray:
         """Forward negacyclic NTT, standard-order input -> bit-rev order
@@ -65,7 +87,12 @@ class PrimeRing:
         hundreds of diagonals rides this path)."""
         p, n = self.p, self.n
         shape = a.shape
-        a = a.astype(np.int64).reshape(-1, n).copy()
+        a = np.ascontiguousarray(a.astype(np.int64).reshape(-1, n))
+        if native.lib is not None and n >= 256:
+            t = self._native_tables()
+            idx = np.zeros(a.shape[0], np.int64)
+            native.ntt_rows(a, idx, t["primes"], t["tw"], t["tw_shoup"])
+            return a.reshape(shape)
         b = a.shape[0]
         t = n
         m = 1
@@ -86,7 +113,13 @@ class PrimeRing:
         Accepts any leading batch shape (..., n) like `ntt`."""
         p, n = self.p, self.n
         shape = a.shape
-        a = a.astype(np.int64).reshape(-1, n).copy()
+        a = np.ascontiguousarray(a.astype(np.int64).reshape(-1, n))
+        if native.lib is not None and n >= 256:
+            t = self._native_tables()
+            idx = np.zeros(a.shape[0], np.int64)
+            native.intt_rows(a, idx, t["primes"], t["itw"], t["itw_shoup"],
+                             t["ninv"], t["ninv_shoup"])
+            return a.reshape(shape)
         b = a.shape[0]
         t = 1
         m = n
@@ -135,13 +168,56 @@ class HostRing:
         self.primes = list(primes)
         self.n = n
         self.rings = [PrimeRing(p, n, psi) for p, psi in zip(primes, psis)]
+        self._nat = None  # lazy stacked native tables over all primes
+
+    def _native_tables(self):
+        if self._nat is None:
+            self._nat = dict(
+                primes=np.array(self.primes, np.int64),
+                tw=np.ascontiguousarray(
+                    np.stack([r.tw for r in self.rings])),
+                tw_shoup=np.ascontiguousarray(np.stack(
+                    [_shoup64(r.tw, r.p) for r in self.rings])),
+                itw=np.ascontiguousarray(
+                    np.stack([r.itw for r in self.rings])),
+                itw_shoup=np.ascontiguousarray(np.stack(
+                    [_shoup64(r.itw, r.p) for r in self.rings])),
+                ninv=np.array([r.ninv for r in self.rings], np.int64),
+                ninv_shoup=np.concatenate(
+                    [_shoup64(np.array([r.ninv], np.int64), r.p)
+                     for r in self.rings]),
+            )
+        return self._nat
+
+    def _native_rows(self, a: np.ndarray):
+        """(..., L, n) -> (contiguous int64 rows, per-row prime index)."""
+        nl = a.shape[-2]
+        rows = np.ascontiguousarray(
+            a.astype(np.int64).reshape(-1, self.n))
+        idx = np.tile(np.arange(nl, dtype=np.int64), rows.shape[0] // nl)
+        return rows, idx
 
     def ntt(self, a: np.ndarray) -> np.ndarray:
-        """(..., L, n) -> per-limb NTT; batch dims vectorise in PrimeRing."""
+        """(..., L, n) -> per-limb NTT; batch dims vectorise in PrimeRing.
+        With the native kernel, all (batch x limb) rows go in one
+        OpenMP-parallel call."""
+        self._sel(a)
+        if native.lib is not None and self.n >= 256:
+            t = self._native_tables()
+            rows, idx = self._native_rows(a)
+            native.ntt_rows(rows, idx, t["primes"], t["tw"], t["tw_shoup"])
+            return rows.reshape(a.shape)
         return np.stack([r.ntt(a[..., i, :])
                          for i, r in enumerate(self._sel(a))], axis=-2)
 
     def intt(self, a: np.ndarray) -> np.ndarray:
+        self._sel(a)
+        if native.lib is not None and self.n >= 256:
+            t = self._native_tables()
+            rows, idx = self._native_rows(a)
+            native.intt_rows(rows, idx, t["primes"], t["itw"],
+                             t["itw_shoup"], t["ninv"], t["ninv_shoup"])
+            return rows.reshape(a.shape)
         return np.stack([r.intt(a[..., i, :])
                          for i, r in enumerate(self._sel(a))], axis=-2)
 

@@ -1,0 +1,173 @@
+"""Multi-device scaling-efficiency benchmark (BASELINE.md north star:
+">=80% scaling efficiency"; VERDICT r1 item 4).
+
+Measures strong-scaling efficiency 1 -> M devices for the framework's two
+real parallel layouts (orion_tpu/parallel/):
+
+  * dp — ciphertext-batch data parallelism: a fixed batch of B encrypted
+    queries, each running a BSGS linear transform + rescale + encrypted
+    square (the per-layer op mix), sharded over the `dp` mesh axis.
+  * limb — RNS-limb-sharded hybrid key-switching (limbshard.py): one
+    key-switch whose extended-basis rows (and the KSK) are block-sharded
+    M ways, with the digit all-gather + ModDown psum combine.
+
+Efficiency_M = T_1 / (M * T_M) for fixed total work.
+
+Runs on whatever devices are visible.  Without a multi-chip TPU slice in
+this environment, `--cpu` forces the 8-virtual-device CPU backend — the
+collective structure and SPMD partitioning are identical to a real slice
+(collectives ride shared memory instead of ICI), so the number reported is
+the partitioning/overhead efficiency of the design, not ICI bandwidth.
+Writes MULTICHIP_scaling.json at the repo root.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def bench_dp(mesh_sizes, logn, reps):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from orion_tpu.crypto import CKKSContext, Encoder, Evaluator, KeyChest
+    from orion_tpu.parallel.mesh import encrypted_dp_mp_step
+    from orion_tpu.crypto import lintrans_scan
+
+    times = {}
+    for m in mesh_sizes:
+        # fresh crypto objects per mesh: device buffers created under one
+        # mesh context carry its AbstractMesh and can't be reused in another
+        ctx = CKKSContext(logn=logn, logq=[28, 26, 26, 26], logp=[28, 28],
+                          logscale=26, h=64, seed=7)
+        enc = Encoder(ctx)
+        keys = KeyChest(ctx)
+        ev = Evaluator(ctx, keys)
+        rng = np.random.default_rng(0)
+        slots = ctx.slots
+        diags = {int(d): rng.uniform(-0.5, 0.5, slots) for d in (0, 1, 3, 8)}
+        tr = lintrans_scan.compile_transform_scan(enc, diags, ctx.max_level,
+                                                  slots)
+        b_total = max(mesh_sizes)
+        pt, s = enc.encode(rng.uniform(-1, 1, slots))
+        one = keys.encrypt_rns(pt).astype(np.uint32)
+        x = jnp.asarray(np.broadcast_to(one, (b_total, 1) + one.shape).copy())
+        mesh = Mesh(np.array(jax.devices()[:m]).reshape(m, 1),
+                    axis_names=("dp", "mp"))
+        step = encrypted_dp_mp_step(ev, [tr], mesh)
+        with mesh:
+            xs = jax.device_put(x, NamedSharding(mesh, P("dp", "mp")))
+            fn = jax.jit(step)
+            jax.block_until_ready(fn(xs))  # compile
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(xs)
+            jax.block_until_ready(out)
+            times[m] = (time.perf_counter() - t0) / reps
+    return times
+
+
+def bench_limb(mesh_sizes, logn, reps):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from orion_tpu.crypto import CKKSContext, KeyChest
+    from orion_tpu.crypto.keyswitch import dev_level, keyswitch
+    from orion_tpu.parallel.limbshard import make_sharded_keyswitch
+
+    # n_t = 6 Q limbs + 2 specials = 8 rows: divisible by 1,2,4,8
+    ctx = CKKSContext(logn=logn, logq=[28, 26, 26, 26, 26, 26],
+                      logp=[28, 28], logscale=26, h=64, seed=11)
+    keys = KeyChest(ctx)
+    level = ctx.max_level
+    rng = np.random.default_rng(1)
+    c = np.stack([rng.integers(0, ctx.primes[i], ctx.n, dtype=np.int64)
+                  for i in range(level + 1)]).astype(np.uint32)
+
+    times = {}
+    ref = None
+    for m in mesh_sizes:
+        if m == 1:
+            dl = dev_level(ctx, level)
+            cj = jnp.asarray(c)
+            fn = jax.jit(lambda cc: keyswitch(cc, dl, keys.relin_key.data,
+                                              keys.relin_key.shoup))
+            jax.block_until_ready(fn(cj))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(cj)
+            jax.block_until_ready(out)
+            times[1] = (time.perf_counter() - t0) / reps
+            ref = np.asarray(out)
+            continue
+        mesh = Mesh(np.array(jax.devices()[:m]), axis_names=("limb",))
+        sks = make_sharded_keyswitch(ctx, level, mesh)
+        kd, kss = sks.shard_ksk(keys.relin_key.data, keys.relin_key.shoup,
+                                ctx)
+        cpad = sks.pad_poly(c)
+        jax.block_until_ready(sks.fn(cpad, kd, kss))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = sks.fn(cpad, kd, kss)
+        jax.block_until_ready(out)
+        times[m] = (time.perf_counter() - t0) / reps
+        got = np.asarray(out)[:, : level + 1]
+        assert ref is None or np.array_equal(got, ref), \
+            f"limb-sharded keyswitch mismatch at M={m}"
+    return times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force 8-virtual-device CPU backend")
+    ap.add_argument("--logn", type=int, default=12)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    nd = len(jax.devices())
+    sizes = [m for m in (1, 2, 4, 8) if m <= nd]
+    print(f"devices: {nd} ({jax.devices()[0].platform}); mesh sizes {sizes}")
+
+    dp_t = bench_dp(sizes, args.logn, args.reps)
+    limb_t = bench_limb(sizes, args.logn, args.reps)
+
+    def eff(times):
+        # dp is strong scaling over a fixed batch; limb splits one op M ways
+        return {m: times[1] / (m * t) if m > 1 else 1.0
+                for m, t in times.items()}
+
+    report = {
+        "platform": jax.devices()[0].platform,
+        "n_devices": nd,
+        "logn": args.logn,
+        "dp_step_s": {str(k): v for k, v in dp_t.items()},
+        "dp_efficiency": {str(k): round(v, 3)
+                          for k, v in eff(dp_t).items()},
+        "limb_keyswitch_s": {str(k): v for k, v in limb_t.items()},
+        "limb_efficiency": {str(k): round(v, 3)
+                            for k, v in eff(limb_t).items()},
+        "note": ("CPU virtual mesh measures partitioning/overhead "
+                 "efficiency of the SPMD design, not ICI bandwidth"),
+    }
+    out = Path(__file__).parent.parent / "MULTICHIP_scaling.json"
+    out.write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
