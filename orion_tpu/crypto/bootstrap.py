@@ -320,13 +320,13 @@ class Bootstrapper:
         """Constant complex vector encoded at scale q_l (errorless level
         consumption) or an explicit integer scale (exact coefficients, used
         by the u/v extraction shed), built once at compile time."""
-        import jax.numpy as jnp
+        from . import placement
         s = float(self.ctx.q_primes[level]) if scale is None else scale
         vec = np.full(self.n, value, dtype=np.complex128)
         data, shoup, scale = self.enc.encode(
             vec, level=level, scale=s, with_shoup=True)
-        return Plaintext(jnp.asarray(data.astype(np.uint32)),
-                         jnp.asarray(shoup), level, scale)
+        return Plaintext(placement.buffer(data.astype(np.uint32)),
+                         placement.buffer(shoup), level, scale)
 
     def bootstrap(self, ct: Ciphertext, slots: int | None = None) -> Ciphertext:
         """Refresh an exhausted ciphertext to the top of the user chain."""

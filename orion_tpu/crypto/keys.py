@@ -28,14 +28,14 @@ class KeySwitchKey:
     """Device-resident hybrid KSK: (dnum, 2, n_all, N) uint32 + Shoup."""
 
     def __init__(self, data: np.ndarray, ctx: CKKSContext):
-        import jax.numpy as jnp
+        from . import placement
         shoup = np.empty_like(data, dtype=np.uint32)
         for i, p in enumerate(ctx.primes):
             p64 = np.uint64(p)
             v = data[:, :, i, :].astype(np.uint64)
             shoup[:, :, i, :] = ((v << np.uint64(32)) // p64).astype(np.uint32)
-        self.data = jnp.asarray(data.astype(np.uint32))
-        self.shoup = jnp.asarray(shoup)
+        self.data = placement.buffer(data.astype(np.uint32))
+        self.shoup = placement.buffer(shoup)
 
 
 class KeyChest:

@@ -76,6 +76,39 @@ def build_key_pack(ev: Evaluator, amounts, level: int | None = None) -> KeyPack:
         dl = dev_level(ev.ctx, level)
         dnum_l = len(dl.digits)
         rows = np.array(dl.ksk_rows, np.int32)
+
+    from . import placement
+    if placement.HOST_COMPILE:
+        # stream mode: the whole pack is assembled in host numpy — no
+        # eager device gathers over the tunnel, no device residency; the
+        # per-module jit receives these as call arguments (buffers.py)
+        perms, ks, kss = [], [], []
+        for a in amounts:
+            k = ev.ctx.galois_element(a)
+            gk = ev.keys.galois_key(k)
+            perms.append(np.asarray(ev.ctx.automorphism_perm(k)))
+            inv_perm = np.asarray(
+                ev.ctx.automorphism_perm(pow(k, -1, two_n)))
+            kd = np.asarray(gk.data)
+            ksd = None if lean else np.asarray(gk.shoup)
+            if level is not None:
+                kd = np.take(kd[:dnum_l], rows, axis=2)
+                if not lean:
+                    ksd = np.take(ksd[:dnum_l], rows, axis=2)
+            ks.append(kd[..., inv_perm])
+            if not lean:
+                kss.append(ksd[..., inv_perm])
+        pack = KeyPack(
+            amounts=amounts,
+            perms=jnp.asarray(np.stack(perms)),
+            ksk=np.ascontiguousarray(np.stack(ks)),
+            ksk_shoup=None if lean else np.ascontiguousarray(np.stack(kss)),
+            level=level,
+            cache_key=key,
+        )
+        cache[key] = pack
+        return pack
+
     # caches must hold concrete arrays even when first touched under jit
     with jax.ensure_compile_time_eval():
         perms, ks, kss = [], [], []
@@ -192,10 +225,11 @@ def compile_transform_scan(encoder, diagonals, level, slots,
     b_pos = [b_index[b] for _, b, _ in entries]
     g_pos = [g_index[g] for g, _, _ in entries]
 
+    from . import placement
     return ScanTransform(
         level=level, n1=n1, pt_scale=ql,
-        pts=jnp.asarray(data.astype(np.uint32)),
-        pts_shoup=jnp.asarray(shoup),
+        pts=placement.buffer(data.astype(np.uint32)),
+        pts_shoup=placement.buffer(shoup),
         b_pos=jnp.asarray(np.array(b_pos, np.int32)),
         g_pos=jnp.asarray(np.array(g_pos, np.int32)),
         babies_full=tuple(babies),

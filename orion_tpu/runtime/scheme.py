@@ -45,6 +45,12 @@ class Scheme:
         self.params = parse_config(config)
         p = self.params
 
+        # stream mode: compiled buffers (keys, diagonals, circuits) are
+        # built and held in host numpy — nothing crosses the TPU tunnel at
+        # compile time; the per-module jit passes them as call arguments
+        from ..crypto import placement
+        placement.set_host_compile(p.io_mode == "stream")
+
         self.ctx = CKKSContext(
             logn=p.logn, logq=p.split_logq, logp=p.logp,
             logscale=p.logscale, h=p.h, ring_type=p.ring_type, seed=p.seed)

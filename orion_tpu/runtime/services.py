@@ -39,17 +39,18 @@ class EncoderService:
         padded[: flat.size] = flat
         if level is None:
             level = self.scheme.input_level_default
+        from ..crypto import placement
         pts = []
         for i in range(num_pt):
             chunk = padded[i * slots:(i + 1) * slots]
             if with_shoup:
                 data, shoup, s = self.enc.encode(
                     chunk, level=level, scale=scale, with_shoup=True)
-                pts.append(Plaintext(jnp.asarray(data.astype(np.uint32)),
-                                     jnp.asarray(shoup), level, s))
+                pts.append(Plaintext(placement.buffer(data.astype(np.uint32)),
+                                     placement.buffer(shoup), level, s))
             else:
                 data, s = self.enc.encode(chunk, level=level, scale=scale)
-                pts.append(Plaintext(jnp.asarray(data.astype(np.uint32)),
+                pts.append(Plaintext(placement.buffer(data.astype(np.uint32)),
                                      None, level, s))
         return PlainTensor(self.scheme, pts, shape, on_shape or shape)
 

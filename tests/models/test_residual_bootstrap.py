@@ -63,8 +63,13 @@ class TinyResNet2(on.Module):
         return self.fc(self.flatten(y))
 
 
-def test_residual_bootstrap_e2e():
-    scheme = orion.scheme.init_scheme(CONFIG)
+@pytest.mark.parametrize("io_mode", ["none", "stream"])
+def test_residual_bootstrap_e2e(io_mode):
+    # "stream" runs the ResNet production path: compiled buffers (keys,
+    # diagonals, bootstrap circuits) stay in HOST numpy (crypto/placement)
+    # and ride the per-module jit as call arguments (runtime/buffers.py)
+    cfg = {**CONFIG, "orion": {**CONFIG["orion"], "io_mode": io_mode}}
+    scheme = orion.scheme.init_scheme(cfg)
     net = TinyResNet2()
     rng = np.random.default_rng(1)
     data = rng.uniform(0, 1, (32, 1, 8, 8)).astype(np.float32)
