@@ -107,18 +107,36 @@ def _dev_digit(dt: DigitTables, ctx: CKKSContext) -> DevDigit:
 
 
 def dev_level(ctx: CKKSContext, level: int) -> DevLevel:
+    import jax
+
+    # When the jit wrapper (runtime/buffers.py) has swapped the context's
+    # full NTT tables for tracers, build the per-level views INSIDE the
+    # trace: the sliced tables become ops on traced arguments instead of
+    # per-level baked constants (150+ MB of MLIR on a bootstrap program,
+    # which the remote compiler kills).  Never cache tracer-built levels.
+    tw = ctx.dev["tw"]
+    if isinstance(tw, jax.core.Tracer):
+        # per-trace cache keyed by the tracer's identity: one build per
+        # level per trace (the swap installs a fresh tracer each trace)
+        tcache = getattr(ctx, "_dev_levels_traced", None)
+        if tcache is None or tcache[0] is not tw:
+            tcache = ctx._dev_levels_traced = (tw, {})
+        if level not in tcache[1]:
+            tcache[1][level] = _build_dev_level(ctx, level, None)
+        return tcache[1][level]
+
     cache = getattr(ctx, "_dev_levels", None)
     if cache is None:
         cache = ctx._dev_levels = {}
     if level in cache:
         return cache[level]
 
-    import jax
     with jax.ensure_compile_time_eval():
         return _build_dev_level(ctx, level, cache)
 
 
-def _build_dev_level(ctx: CKKSContext, level: int, cache: dict) -> DevLevel:
+def _build_dev_level(ctx: CKKSContext, level: int,
+                     cache: dict | None) -> DevLevel:
     d = ctx.dev
     lt: LevelKSTables = ctx.ks_tables[level]
     nq_rows = list(range(level + 1))
@@ -164,7 +182,8 @@ def _build_dev_level(ctx: CKKSContext, level: int, cache: dict) -> DevLevel:
         ci_src=d.get("ci_src"),
         ring_n=ctx.n,
     )
-    cache[level] = out
+    if cache is not None:
+        cache[level] = out
     return out
 
 

@@ -129,83 +129,92 @@ def encrypted_dp_mp_step(ev: Evaluator, transforms: list, mesh: Mesh):
     return lambda x: smapped(x, pts_stack, sh_stack)
 
 
+def dryrun_model_mesh(n_devices: int) -> None:
+    """fit -> compile -> encrypt -> SHARDED forward -> decrypt on a mesh.
+
+    Runs a real compiled network (the full pipeline of
+    `runtime/scheme.py`, not a hand-assembled step) over a (dp, limb)
+    mesh via `runtime.mesh.make_sharded_forward`: the encrypted-query
+    batch is sharded over dp and the RNS-limb axis of every ciphertext
+    over limb, so every key-switch/NTT in the circuit executes
+    limb-sharded under XLA SPMD.  Asserts decrypted MAE vs cleartext.
+    """
+    import orion_tpu.nn as on
+    from ..runtime.scheme import Scheme
+    from ..runtime.mesh import make_sharded_forward, encrypt_batch
+
+    limb = 2 if n_devices % 2 == 0 else 1
+    dp = n_devices // limb
+    mesh = Mesh(np.array(jax.devices()[:n_devices]).reshape(dp, limb),
+                axis_names=("dp", "limb"))
+
+    class TinyMLP(on.Module):
+        def __init__(self):
+            super().__init__()
+            self.flatten = on.Flatten()
+            self.fc1 = on.Linear(16, 8)
+            self.act1 = on.Quad()
+            self.fc2 = on.Linear(8, 4)
+
+        def forward(self, x):
+            return self.fc2(self.act1(self.fc1(self.flatten(x))))
+
+    scheme = Scheme().init_scheme(dict(
+        ckks_params=dict(LogN=8, LogQ=[29, 26, 26, 26], LogP=[29, 29],
+                         LogScale=26, H=64),
+        orion=dict(margin=2, embedding_method="hybrid", backend="tpu",
+                   fuse_modules=True, debug=False, io_mode="none"),
+    ))
+    rng = np.random.default_rng(0)
+    # list of batch-1 samples => compiled (served) batch size is 1
+    fit_data = [rng.uniform(-1, 1, (1, 1, 4, 4)).astype(np.float32)
+                for _ in range(32)]
+
+    net = TinyMLP()
+    net.eval()
+    queries = [rng.uniform(-1, 1, (1, 1, 4, 4)).astype(np.float32)
+               for _ in range(dp)]
+    clear = [np.asarray(net(q)).reshape(-1) for q in queries]
+
+    scheme.fit(net, fit_data, batch_size=16)
+    input_level = scheme.compile(net)
+    net.he()
+
+    batch = encrypt_batch(scheme, queries, input_level)
+    fwd = make_sharded_forward(net, scheme, mesh)
+    outs = fwd(batch)
+    errs = []
+    for want, out in zip(clear, outs):
+        got = np.asarray(out.decrypt().decode()).reshape(-1)[: want.size]
+        errs.append(float(np.max(np.abs(got - want))))
+    err = max(errs)
+    if not np.isfinite(err) or err > 5e-3:
+        raise AssertionError(f"sharded model forward mismatch: err={err}")
+    print(f"[dryrun_multichip] model forward on (dp={dp}, limb={limb}) "
+          f"mesh OK, max err={err:.2e}")
+
+
 def dryrun_multichip(n_devices: int) -> None:
     """Compile + run the sharded encrypted paths on tiny shapes.
 
     Exercises the framework's real parallel layout:
-      1. dp sharding of the ciphertext batch x mp sharding of column
-         blocks — each member holds ITS OWN block's encoded diagonals —
-         with chip-local scanned key-switching (rotation +
-         relinearisation) and an all_gather + modular-fold combine;
-      2. the limb(RNS)-sharded key-switch (limbshard.py): KSK row blocks
-         sharded across all chips, digit all-gather + ModDown psum,
-         verified bit-exact against the single-chip path.
+      1. a COMPILED network (full fit/compile/encrypt pipeline) running
+         dp x limb sharded through `runtime.mesh.make_sharded_forward`
+         — batch over dp, RNS limbs (and so every key-switch) over limb;
+      2. the explicit limb(RNS)-sharded key-switch (limbshard.py): KSK
+         row blocks sharded across all chips, digit all-gather + ModDown
+         psum, verified bit-exact against the single-chip path.
     """
-    mesh = build_mesh(n_devices)
-    dp, mp = mesh.devices.shape
-
-    ctx = CKKSContext(logn=6, logq=[28, 26, 26], logp=[28, 28],
-                      logscale=26, h=16, seed=7)
-    enc = Encoder(ctx)
-    keys = KeyChest(ctx)
-    ev = Evaluator(ctx, keys)
-
-    rng = np.random.default_rng(0)
-    slots = ctx.slots
-    # one DISTINCT column block per mp member (same diagonal index set)
-    member_diags = [
-        {0: rng.uniform(-0.5, 0.5, slots), 1: rng.uniform(-0.5, 0.5, slots)}
-        for _ in range(mp)]
-    transforms = [lintrans_scan.compile_transform_scan(
-        enc, d, ctx.max_level, slots) for d in member_diags]
-
-    # batch of dp x mp ciphertexts
-    cts = []
-    vals = {}
-    for i in range(dp):
-        row = []
-        for j in range(mp):
-            v = rng.uniform(-1, 1, slots)
-            vals[(i, j)] = v
-            pt, s = enc.encode(v)
-            row.append(keys.encrypt_rns(pt).astype(np.uint32))
-        cts.append(np.stack(row))
-    x = jnp.asarray(np.stack(cts))  # (dp, mp, 2, L, N)
-
-    step = encrypted_dp_mp_step(ev, transforms, mesh)
-    with mesh:
-        xs = jax.device_put(
-            x, jax.sharding.NamedSharding(mesh, P("dp", "mp")))
-        out = jax.jit(step)(xs)
-        jax.block_until_ready(out)
-
-    # correctness spot-check on the first batch element
-    raw = keys.decrypt_rns(np.asarray(out[0]).astype(np.int64))
-    got = enc.decode(raw, ev.ctx.default_scale)
-    want = np.zeros(slots)
-    for j in range(mp):
-        v = vals[(0, j)]
-        want += sum(vec * np.roll(v, -d)
-                    for d, vec in member_diags[j].items())
-    want = want ** 2
-    err = float(np.max(np.abs(got - want)))
-    if not np.isfinite(err) or err > 5e-2:
-        raise AssertionError(f"multichip dryrun mismatch: err={err}")
-    print(f"[dryrun_multichip] mesh dp={dp} mp={mp} OK, err={err:.2e}")
+    dryrun_model_mesh(n_devices)
 
     # ---- limb-sharded key-switch (bit-exact vs single chip) ----
     from .limbshard import make_sharded_keyswitch
     from ..crypto.keyswitch import dev_level as _dl, keyswitch as _ks
-    level = ctx.max_level          # n_t = 3 + 2 = 5 rows
-    m_limb = n_devices if (3 + 2) % n_devices == 0 else (
-        5 if n_devices >= 5 else 1)
-    if m_limb == 1:
-        # 5 rows don't split over this mesh; use a 5-limb context instead
-        ctx2 = CKKSContext(logn=6, logq=[28, 26, 26, 26, 26, 26],
-                           logp=[28, 28], logscale=26, h=16, seed=7)
-        m_limb = n_devices if 8 % n_devices == 0 else 1
-    else:
-        ctx2 = ctx
+    rng = np.random.default_rng(7)
+    # 6 Q limbs + 2 P limbs = 8 extended-basis rows: splits over 1/2/4/8
+    ctx2 = CKKSContext(logn=6, logq=[28, 26, 26, 26, 26, 26],
+                       logp=[28, 28], logscale=26, h=16, seed=7)
+    m_limb = n_devices if 8 % n_devices == 0 else 1
     if m_limb > 1:
         keys2 = KeyChest(ctx2)
         lmesh = Mesh(np.array(jax.devices()[:m_limb]), axis_names=("limb",))

@@ -26,14 +26,16 @@ from .tensors import PlainTensor
 
 class Swappable:
     """One big buffer: get() the concrete array, set()/restore() around
-    tracing."""
+    tracing.  `pin_device` buffers are shared across every module (context
+    NTT tables) and stay resident: stream-mode spilling skips them."""
 
-    __slots__ = ("getter", "setter", "_saved")
+    __slots__ = ("getter", "setter", "_saved", "pin_device")
 
-    def __init__(self, getter, setter):
+    def __init__(self, getter, setter, pin_device=False):
         self.getter = getter
         self.setter = setter
         self._saved = None
+        self.pin_device = pin_device
 
     def save_and_set(self, value):
         self._saved = self.getter()
@@ -110,11 +112,27 @@ def _bootstrapper_swaps(btp):
     return out
 
 
+def _context_swaps(ctx):
+    """The context's full NTT/twiddle tables ((n_all, N) uint32 each).
+
+    Passing these as traced arguments makes `dev_level` (crypto/keyswitch.py)
+    build its per-level sliced views inside the trace, so a program that
+    spans many levels (a bootstrap walks ~25 of them) carries 4 table
+    arguments instead of ~150 MB of per-level baked constants.
+    """
+    out = []
+    for k in ("tw", "tw_shoup", "itw", "itw_shoup"):
+        out.append(Swappable(lambda k=k: ctx.dev[k],
+                             lambda v, k=k: ctx.dev.__setitem__(k, v),
+                             pin_device=True))
+    return out
+
+
 def collect_swappables(scheme, module) -> list[Swappable]:
     """Everything THIS module's he-forward may read that is large, in a
     deterministic order shared by structurally-identical modules (so they
     can share one compiled XLA program, see runtime/jit.py)."""
-    out = []
+    out = list(_context_swaps(scheme.ctx))
 
     # module-held plaintexts (bias, BN constants, bootstrap prescale/shift)
     for name in sorted(vars(module)):
@@ -163,6 +181,8 @@ def spill_swaps_to_host(swaps) -> int:
     import jax
     moved = 0
     for sw in swaps:
+        if sw.pin_device:
+            continue
         v = sw.getter()
         if isinstance(v, jax.Array):
             host = np.asarray(v)
