@@ -300,12 +300,15 @@ class Bootstrapper:
         dl_b = dev_level(ctx, base)
         dl_t = dev_level(ctx, self.top)
         data = ct.data[:, : base + 1]
-        coeff = intt(data, dl_b.q_itw, dl_b.q_itw_shoup,
-                     dl_b.q_ninv, dl_b.q_ninv_shoup, dl_b.q_p)
+        from .keyswitch import ring_intt, ring_ntt
+        coeff = ring_intt(data, dl_b.q_itw, dl_b.q_itw_shoup,
+                          dl_b.q_ninv, dl_b.q_ninv_shoup, dl_b.q_p,
+                          dl_b, dl_b.q_t4)
         lifted = jnp.stack([
             fbc(coeff[i], self._raise_digit, dl_t.q_p[:, None])
             for i in range(2)])  # (2, n_q, N) coeff domain
-        raised = ntt(lifted, dl_t.q_tw, dl_t.q_tw_shoup, dl_t.q_p)
+        raised = ring_ntt(lifted, dl_t.q_tw, dl_t.q_tw_shoup, dl_t.q_p,
+                          dl_t, dl_t.q_t4)
         return Ciphertext(raised, self.top, ct.scale)
 
     def _apply_chain(self, ct: Ciphertext, transforms) -> Ciphertext:

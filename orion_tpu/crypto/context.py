@@ -186,11 +186,23 @@ class CKKSContext:
         as_dev = jnp.asarray
         self.dev = {
             "p": as_dev(p_arr), "pinv": as_dev(pinv),
-            "r_mod": as_dev(r_mod), "r_shoup": as_dev(r_shoup),
             "tw": as_dev(tw), "tw_shoup": as_dev(tw_sh),
             "itw": as_dev(itw), "itw_shoup": as_dev(itw_sh),
+            "r_mod": as_dev(r_mod), "r_shoup": as_dev(r_shoup),
             "ninv": as_dev(ninv), "ninv_shoup": as_dev(ninv_sh),
         }
+        # four-step NTT tables (TPU-friendly layout, see crypto/ntt4.py);
+        # None below N=256 or when disabled via ORION_TPU_NTT4=0
+        import os
+        self.t4_keys: list[str] = []
+        if os.environ.get("ORION_TPU_NTT4", "1") != "0":
+            from .ntt4 import build_t4_tables
+            logn_lift = self.lift_n.bit_length() - 1
+            t4 = build_t4_tables(tw, itw, self.psis, self.primes, logn_lift)
+            if t4 is not None:
+                for k, v in t4.items():
+                    self.dev["t4_" + k] = as_dev(v)
+                    self.t4_keys.append("t4_" + k)
         if self.ci_keep is not None:
             self.dev["ci_keep"] = as_dev(self.ci_keep)
             self.dev["ci_src"] = as_dev(self.ci_src)

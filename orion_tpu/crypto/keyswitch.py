@@ -88,6 +88,11 @@ class DevLevel:
     ci_keep: jnp.ndarray | None = None
     ci_src: jnp.ndarray | None = None
     ring_n: int = 0                # stored coefficient count
+    # four-step NTT tables (crypto/ntt4.py), sliced to this level's rows;
+    # None when the ring is too small or ORION_TPU_NTT4=0
+    q_t4: dict | None = None
+    t_t4: dict | None = None
+    s_t4: dict | None = None
 
 
 def _dev_digit(dt: DigitTables, ctx: CKKSContext) -> DevDigit:
@@ -182,20 +187,39 @@ def _build_dev_level(ctx: CKKSContext, level: int,
         ci_src=d.get("ci_src"),
         ring_n=ctx.n,
     )
+    if getattr(ctx, "t4_keys", None):
+        def t4_slice(r):
+            idx = jnp.asarray(np.array(r, np.int32))
+            return {k[3:]: d[k][idx] for k in ctx.t4_keys}
+        out.q_t4 = t4_slice(nq_rows)
+        out.t_t4 = t4_slice(t_rows)
+        out.s_t4 = t4_slice(sp_rows)
     if cache is not None:
         cache[level] = out
     return out
 
 
-def ring_ntt(a, tw, tw_shoup, p, dl: DevLevel):
-    """Forward NTT dispatching on the context's ring type."""
+def ring_ntt(a, tw, tw_shoup, p, dl: DevLevel, t4=None):
+    """Forward NTT dispatching on ring type and four-step availability."""
+    if t4 is not None:
+        from .ntt4 import ntt4
+        if dl.ci_keep is None:
+            return ntt4(a, t4, p)
+        from .ntt import ci_lift
+        return ntt4(ci_lift(a, p), t4, p)[..., dl.ci_keep]
     if dl.ci_keep is None:
         return ntt(a, tw, tw_shoup, p)
     return ci_ntt(a, tw, tw_shoup, p, dl.ci_keep)
 
 
-def ring_intt(a, itw, itw_shoup, ninv, ninv_shoup, p, dl: DevLevel):
-    """Inverse NTT dispatching on the context's ring type."""
+def ring_intt(a, itw, itw_shoup, ninv, ninv_shoup, p, dl: DevLevel, t4=None):
+    """Inverse NTT dispatching on ring type and four-step availability."""
+    if t4 is not None:
+        from .ntt4 import intt4
+        if dl.ci_src is None:
+            return intt4(a, t4, ninv, ninv_shoup, p)
+        return intt4(a[..., dl.ci_src], t4, ninv, ninv_shoup,
+                     p)[..., : dl.ring_n]
     if dl.ci_src is None:
         return intt(a, itw, itw_shoup, ninv, ninv_shoup, p)
     return ci_intt(a, itw, itw_shoup, ninv, ninv_shoup, p,
@@ -235,12 +259,13 @@ def ks_decompose(c_ntt, dl: DevLevel):
     hoisting trick behind fast BSGS (Lattigo parity).
     """
     c_coeff = ring_intt(c_ntt, dl.q_itw, dl.q_itw_shoup,
-                        dl.q_ninv, dl.q_ninv_shoup, dl.q_p, dl)
+                        dl.q_ninv, dl.q_ninv_shoup, dl.q_p, dl, dl.q_t4)
     exts = []
     for dg in dl.digits:
         z = c_coeff[dg.src_lo:dg.src_hi]
         ext = fbc(z, dg, dl.t_p[:, None])
-        exts.append(ring_ntt(ext, dl.t_tw, dl.t_tw_shoup, dl.t_p, dl))
+        exts.append(ring_ntt(ext, dl.t_tw, dl.t_tw_shoup, dl.t_p, dl,
+                             dl.t_t4))
     return jnp.stack(exts)
 
 
@@ -301,9 +326,9 @@ def mod_down(x, dl: DevLevel):
     qpart = x[: lvl + 1]
     ppart = x[lvl + 1:]
     pp_coeff = ring_intt(ppart, dl.s_itw, dl.s_itw_shoup,
-                         dl.s_ninv, dl.s_ninv_shoup, dl.s_p, dl)
+                         dl.s_ninv, dl.s_ninv_shoup, dl.s_p, dl, dl.s_t4)
     lift = fbc(pp_coeff, dl.moddown, dl.q_p[:, None])
-    lift_ntt = ring_ntt(lift, dl.q_tw, dl.q_tw_shoup, dl.q_p, dl)
+    lift_ntt = ring_ntt(lift, dl.q_tw, dl.q_tw_shoup, dl.q_p, dl, dl.q_t4)
     diff = sub_mod(qpart, lift_ntt, dl.q_p[:, None])
     return shoup_mul(diff, dl.pinv_mod_q, dl.pinv_mod_q_shoup, dl.q_p[:, None])
 
@@ -319,10 +344,15 @@ def rescale_poly(c, dl: DevLevel):
     """
     lvl = dl.level
     last_ntt = c[..., lvl: lvl + 1, :]
+
+    def t4sl(sl):
+        return ({k: v[sl] for k, v in dl.q_t4.items()}
+                if dl.q_t4 is not None else None)
+
     # single-limb iNTT using the last Q row's tables
     last = ring_intt(last_ntt, dl.q_itw[lvl:], dl.q_itw_shoup[lvl:],
                      dl.q_ninv[lvl:], dl.q_ninv_shoup[lvl:],
-                     dl.q_p[lvl:], dl)[..., 0, :]
+                     dl.q_p[lvl:], dl, t4sl(slice(lvl, None)))[..., 0, :]
     # centered lift of `last` into each remaining modulus
     red = shoup_mul(last[..., None, :], jnp.uint32(1),
                     dl.one_shoup_q[:lvl], dl.q_p[: lvl, None])
@@ -330,7 +360,7 @@ def rescale_poly(c, dl: DevLevel):
     y = sub_mod(red, jnp.where(v, dl.qlast_mod_t, jnp.uint32(0)),
                 dl.q_p[: lvl, None])
     y_ntt = ring_ntt(y, dl.q_tw[:lvl], dl.q_tw_shoup[:lvl],
-                     dl.q_p[:lvl], dl)
+                     dl.q_p[:lvl], dl, t4sl(slice(None, lvl)))
     diff = sub_mod(c[..., :lvl, :], y_ntt, dl.q_p[: lvl, None])
     return shoup_mul(diff, dl.qlast_inv, dl.qlast_inv_shoup,
                      dl.q_p[: lvl, None])

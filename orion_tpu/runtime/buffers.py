@@ -121,7 +121,9 @@ def _context_swaps(ctx):
     arguments instead of ~150 MB of per-level baked constants.
     """
     out = []
-    for k in ("tw", "tw_shoup", "itw", "itw_shoup"):
+    keys = ("tw", "tw_shoup", "itw", "itw_shoup",
+            *getattr(ctx, "t4_keys", ()))
+    for k in keys:
         out.append(Swappable(lambda k=k: ctx.dev[k],
                              lambda v, k=k: ctx.dev.__setitem__(k, v),
                              pin_device=True))
