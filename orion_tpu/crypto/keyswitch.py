@@ -249,6 +249,30 @@ def fbc(z, dg: DevDigit, tgt_p):
 #  Key switching                                                     #
 # ------------------------------------------------------------------ #
 
+def _fused_ks(dl: DevLevel, ksk_bytes: int) -> bool:
+    """Route through the fused Pallas kernel (crypto/ks_pallas.py)?
+
+    ORION_TPU_FUSED_KS: "0" never, "1" whenever supported (incl. CPU
+    interpret mode — tests), default "auto" = only on accelerators.
+    """
+    import os
+    mode = os.environ.get("ORION_TPU_FUSED_KS", "auto")
+    if mode == "0":
+        return False
+    from .ks_pallas import ks_supported
+    if not ks_supported(dl, ksk_bytes):
+        return False
+    if mode == "1":
+        return True
+    import jax
+    return jax.default_backend() != "cpu"
+
+
+def _ksk_bytes(dl: DevLevel, lean: bool) -> int:
+    n_t = dl.level + 1 + int(dl.s_p.shape[0])
+    return len(dl.digits) * 2 * n_t * dl.ring_n * 4 * (1 if lean else 2)
+
+
 def ks_decompose(c_ntt, dl: DevLevel):
     """Hoistable half of a key-switch: digit-decompose c and extend every
     digit to the full basis.  Returns (dnum, n_t, N) in NTT domain.
@@ -258,6 +282,9 @@ def ks_decompose(c_ntt, dl: DevLevel):
     decomposition serves every rotation of the same ciphertext — the
     hoisting trick behind fast BSGS (Lattigo parity).
     """
+    if _fused_ks(dl, 0):
+        from .ks_pallas import ks_decompose_pallas
+        return ks_decompose_pallas(c_ntt, dl)
     c_coeff = ring_intt(c_ntt, dl.q_itw, dl.q_itw_shoup,
                         dl.q_ninv, dl.q_ninv_shoup, dl.q_p, dl, dl.q_t4)
     exts = []
@@ -281,6 +308,9 @@ def ks_finish(ext, dl: DevLevel, ksk_data, ksk_shoup=None, trimmed=False):
     inner product (a small share of a key-switch) for HALF the key HBM.
     Returns (2, level+1, N) in NTT domain.
     """
+    if _fused_ks(dl, _ksk_bytes(dl, ksk_shoup is None)):
+        from .ks_pallas import ks_finish_pallas
+        return ks_finish_pallas(ext, dl, ksk_data, ksk_shoup, trimmed)
     rows = None if trimmed else jnp.asarray(np.array(dl.ksk_rows, np.int32))
     tp = dl.t_p[:, None]
     acc0 = acc1 = None
@@ -317,6 +347,9 @@ def keyswitch_lean(c_ntt, dl: DevLevel, ksk_data):
 
 def keyswitch(c_ntt, dl: DevLevel, ksk_data, ksk_shoup):
     """Switch poly c (level+1, N, NTT domain) with a hybrid KSK."""
+    if _fused_ks(dl, _ksk_bytes(dl, ksk_shoup is None)):
+        from .ks_pallas import keyswitch_pallas
+        return keyswitch_pallas(c_ntt, dl, ksk_data, ksk_shoup)
     return ks_finish(ks_decompose(c_ntt, dl), dl, ksk_data, ksk_shoup)
 
 

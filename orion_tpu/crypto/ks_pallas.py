@@ -1,0 +1,312 @@
+"""Fused Pallas key-switch: the whole hybrid key-switch in one TPU kernel.
+
+The jnp key-switch (keyswitch.py) lowers to dozens of small XLA fusions
+with HBM round-trips between every NTT stage, basis conversion and the
+KSK inner product; at LogN 13 the measured time was ~300x the analytical
+HBM roofline.  This kernel keeps the entire working set resident in VMEM:
+
+    iNTT(Q rows) -> per-digit fast basis conversion -> NTT(t rows)
+      -> KSK inner product -> ModDown (iNTT specials, FBC, NTT, P^-1)
+
+Everything inside is the SAME pure-jnp arithmetic as keyswitch.py/ntt4.py
+(the kernel body literally calls ntt4/intt4/shoup_mul), so outputs are
+bit-identical to the unfused path — tests assert equality.
+
+Scope: standard ring, four-step tables available (N >= 256), working set
+within the VMEM budget (checked; larger levels fall back to the jnp path).
+Reference parity: this plays the role of the fused CUDA key-switch kernels
+HEonGPU runs under `orion/backend/heongpu/bindings.py` and of Lattigo's
+ring package beneath `orion/backend/lattigo/evaluator.go:49-317`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .modops import add_mod, mul_mod, shoup_mul, sub_mod
+from .ntt4 import intt4, ntt4
+
+_LANE = 128
+# VMEM is 16MB/core; leave headroom for Mosaic temporaries
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+_T4_KEYS = ("rowtw", "rowtw_sh", "lanetw", "lanetw_sh", "twist", "twist_sh",
+            "i_rowtw", "i_rowtw_sh", "i_lanetw", "i_lanetw_sh",
+            "i_twist", "i_twist_sh")
+
+
+def _interpret():
+    return jax.default_backend() == "cpu"
+
+
+class _Args:
+    """Ordered (name -> array) collector for pallas_call plumbing."""
+
+    def __init__(self):
+        self.names = []
+        self.arrays = []
+
+    def add(self, name, arr):
+        self.names.append(name)
+        self.arrays.append(arr)
+
+    def bytes(self):
+        return sum(int(np.prod(a.shape)) * 4 for a in self.arrays)
+
+
+def _dl_static(dl):
+    """Static (python) metadata of a DevLevel needed to build the kernel."""
+    nl = dl.level + 1
+    n_sp = int(dl.s_p.shape[0])
+    digits = tuple((dg.src_lo, dg.src_hi, int(dg.qhat_inv.shape[0]))
+                   for dg in dl.digits)
+    return nl, n_sp, digits
+
+
+def _add_common(args: _Args, dl, ext_n):
+    """Tables shared by decompose/finish: t4 for t rows, moduli vectors."""
+    for k in _T4_KEYS:
+        args.add("t4_" + k, dl.t_t4[k])
+    args.add("p_t", dl.t_p.reshape(-1, 1))
+    args.add("ninv_t", jnp.concatenate(
+        [dl.q_ninv, dl.s_ninv]).reshape(-1, 1))
+    args.add("ninv_sh_t", jnp.concatenate(
+        [dl.q_ninv_shoup, dl.s_ninv_shoup]).reshape(-1, 1))
+
+
+def _add_digit(args: _Args, name, dg):
+    args.add(name + "_qi", dg.qhat_inv[:, :, None])
+    args.add(name + "_qi_sh", dg.qhat_inv_shoup[:, :, None])
+    args.add(name + "_conv", dg.conv[:, :, :, None])
+    args.add(name + "_conv_sh", dg.conv_shoup[:, :, :, None])
+    args.add(name + "_dmod", dg.d_mod_t[:, :, None])
+    args.add(name + "_dmod_sh", dg.d_mod_t_shoup[:, :, None])
+    args.add(name + "_srcq", dg.src_q_f32[:, :, None])
+    args.add(name + "_srcp", dg.src_p[:, :, None])
+
+
+def _fbc_k(g, name, z, tgtp, alpha):
+    """In-kernel fast basis conversion; z (alpha, R, LANE) coeff domain."""
+    zq = shoup_mul(z, g(name + "_qi"), g(name + "_qi_sh"), g(name + "_srcp"))
+    frac = jnp.sum(zq.astype(jnp.float32) / g(name + "_srcq"), axis=0)
+    v = jnp.round(frac).astype(jnp.uint32)
+    acc = None
+    for m in range(alpha):
+        term = shoup_mul(zq[m][None], g(name + "_conv")[m],
+                         g(name + "_conv_sh")[m], tgtp)
+        acc = term if acc is None else add_mod(acc, term, tgtp)
+    vterm = shoup_mul(v[None], g(name + "_dmod"), g(name + "_dmod_sh"), tgtp)
+    return sub_mod(acc, vterm, tgtp)
+
+
+def _t4_slice(g, sl):
+    return {k: g("t4_" + k)[sl] for k in _T4_KEYS}
+
+
+def _decompose_k(g, nl, n_sp, digits, c):
+    """c (nl, R, LANE) NTT domain -> ext (dnum, n_t, R, LANE) NTT domain."""
+    n_t = nl + n_sp
+    R = c.shape[-2]
+    n = R * _LANE
+    q_sl = slice(None, nl)
+    coeff = intt4(c.reshape(nl, n), _t4_slice(g, q_sl),
+                  g("ninv_t")[q_sl, 0], g("ninv_sh_t")[q_sl, 0],
+                  g("p_t")[q_sl, 0]).reshape(nl, R, _LANE)
+    tgtp = g("p_t")[:, :, None]
+    t4_t = _t4_slice(g, slice(None))
+    exts = []
+    for i, (lo, hi, alpha) in enumerate(digits):
+        ext = _fbc_k(g, f"dg{i}", coeff[lo:hi], tgtp, alpha)
+        exts.append(ntt4(ext.reshape(n_t, n), t4_t,
+                         g("p_t")[:, 0]).reshape(n_t, R, _LANE))
+    return jnp.stack(exts)
+
+
+def _finish_k(g, nl, n_sp, dnum, ext, lean):
+    """ext (dnum, n_t, R, LANE) -> key-switched (2, nl, R, LANE)."""
+    n_t = nl + n_sp
+    R = ext.shape[-2]
+    n = R * _LANE
+    tp = g("p_t")[:, :, None]
+    acc0 = acc1 = None
+    for j in range(dnum):
+        if lean:
+            pinv = g("t_pinv")[:, :, None]
+            rm = g("t_rmod")[:, :, None]
+            rs = g("t_rshoup")[:, :, None]
+            t0 = mul_mod(ext[j], g("ksk")[j, 0], tp, pinv, rm, rs)
+            t1 = mul_mod(ext[j], g("ksk")[j, 1], tp, pinv, rm, rs)
+        else:
+            t0 = shoup_mul(ext[j], g("ksk")[j, 0], g("ksk_sh")[j, 0], tp)
+            t1 = shoup_mul(ext[j], g("ksk")[j, 1], g("ksk_sh")[j, 1], tp)
+        if acc0 is None:
+            acc0, acc1 = t0, t1
+        else:
+            acc0 = add_mod(acc0, t0, tp)
+            acc1 = add_mod(acc1, t1, tp)
+    acc = jnp.stack([acc0, acc1])  # (2, n_t, R, LANE)
+
+    # ModDown both polys at once (batch dim 2)
+    q_sl = slice(None, nl)
+    s_sl = slice(nl, None)
+    qpart = acc[:, :nl]
+    ppart = acc[:, nl:]
+    pp_coeff = intt4(ppart.reshape(2, n_sp, n), _t4_slice(g, s_sl),
+                     g("ninv_t")[s_sl, 0], g("ninv_sh_t")[s_sl, 0],
+                     g("p_t")[s_sl, 0]).reshape(2, n_sp, R, _LANE)
+    qp = g("p_t")[q_sl][:, :, None]
+    lift = jnp.stack([_fbc_k(g, "md", pp_coeff[i], qp, n_sp)
+                      for i in range(2)])
+    lift_ntt = ntt4(lift.reshape(2, nl, n), _t4_slice(g, q_sl),
+                    g("p_t")[q_sl, 0]).reshape(2, nl, R, _LANE)
+    diff = sub_mod(qpart, lift_ntt, qp)
+    return shoup_mul(diff, g("pinv")[:, :, None], g("pinv_sh")[:, :, None],
+                     qp)
+
+
+def _make_getter(names, refs):
+    table = dict(zip(names, refs))
+
+    def g(name):
+        return table[name][...]
+    return g
+
+
+def _call(kernel, args: _Args, out_shape):
+    n_in = len(args.arrays)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+        interpret=_interpret(),
+    )(*args.arrays)
+
+
+def ks_supported(dl, trimmed_ksk_bytes: int) -> bool:
+    """Fused path available for this level/ring within the VMEM budget?"""
+    if dl.t_t4 is None or dl.ci_keep is not None:
+        return False
+    nl = dl.level + 1
+    n_sp = int(dl.s_p.shape[0])
+    n_t = nl + n_sp
+    n = dl.ring_n
+    dnum = len(dl.digits)
+    word = 4
+    tables = 4 * n_t * n * word           # twist fwd/inv + shoup
+    data = (nl + 2 * dnum * n_t + 4 * n_t + 2 * nl) * n * word
+    return tables + data + trimmed_ksk_bytes < _VMEM_BUDGET
+
+
+def _trim_ksk(ksk, ksk_shoup, dl, trimmed):
+    """Slice a full-chain KSK to this level's digits/rows (outside the
+    kernel, so only the needed rows are DMA'd)."""
+    if trimmed:
+        return ksk, ksk_shoup
+    dnum = len(dl.digits)
+    nl = dl.level + 1
+    n_q_total = ksk.shape[2] - int(dl.s_p.shape[0])
+
+    def cut(k):
+        return jnp.concatenate([k[:dnum, :, :nl], k[:dnum, :, n_q_total:]],
+                               axis=2)
+    return cut(ksk), None if ksk_shoup is None else cut(ksk_shoup)
+
+
+def ks_decompose_pallas(c_ntt, dl):
+    """Pallas ks_decompose: (nl, N) -> (dnum, n_t, N), bit-exact."""
+    nl, n_sp, digits = _dl_static(dl)
+    n = c_ntt.shape[-1]
+    R = n // _LANE
+    n_t = nl + n_sp
+    args = _Args()
+    args.add("c", c_ntt.reshape(nl, R, _LANE))
+    _add_common(args, dl, n)
+    for i, dg in enumerate(dl.digits):
+        _add_digit(args, f"dg{i}", dg)
+
+    names = tuple(args.names)
+
+    def kernel(*refs):
+        g = _make_getter(names, refs[:-1])
+        refs[-1][...] = _decompose_k(g, nl, n_sp, digits, g("c"))
+
+    out = _call(kernel, args, (len(digits), n_t, R, _LANE))
+    return out.reshape(len(digits), n_t, n)
+
+
+def ks_finish_pallas(ext, dl, ksk_data, ksk_shoup=None, trimmed=False):
+    """Pallas ks_finish: inner product + ModDown, bit-exact vs ks_finish."""
+    nl, n_sp, digits = _dl_static(dl)
+    dnum = len(digits)
+    n = ext.shape[-1]
+    R = n // _LANE
+    n_t = nl + n_sp
+    lean = ksk_shoup is None
+    kd, ks = _trim_ksk(ksk_data, ksk_shoup, dl, trimmed)
+
+    args = _Args()
+    args.add("ext", ext.reshape(dnum, n_t, R, _LANE))
+    args.add("ksk", kd.reshape(dnum, 2, n_t, R, _LANE))
+    if not lean:
+        args.add("ksk_sh", ks.reshape(dnum, 2, n_t, R, _LANE))
+    else:
+        args.add("t_pinv", dl.t_pinv.reshape(-1, 1))
+        args.add("t_rmod", dl.t_rmod.reshape(-1, 1))
+        args.add("t_rshoup", dl.t_rshoup.reshape(-1, 1))
+    _add_common(args, dl, n)
+    _add_digit(args, "md", dl.moddown)
+    args.add("pinv", dl.pinv_mod_q)
+    args.add("pinv_sh", dl.pinv_mod_q_shoup)
+
+    names = tuple(args.names)
+
+    def kernel(*refs):
+        g = _make_getter(names, refs[:-1])
+        refs[-1][...] = _finish_k(g, nl, n_sp, dnum, g("ext"), lean)
+
+    out = _call(kernel, args, (2, nl, R, _LANE))
+    return out.reshape(2, nl, n)
+
+
+def keyswitch_pallas(c_ntt, dl, ksk_data, ksk_shoup=None):
+    """Whole fused key-switch: (nl, N) -> (2, nl, N), bit-exact."""
+    nl, n_sp, digits = _dl_static(dl)
+    dnum = len(digits)
+    n = c_ntt.shape[-1]
+    R = n // _LANE
+    n_t = nl + n_sp
+    lean = ksk_shoup is None
+    kd, ks = _trim_ksk(ksk_data, ksk_shoup, dl, trimmed=False)
+
+    args = _Args()
+    args.add("c", c_ntt.reshape(nl, R, _LANE))
+    args.add("ksk", kd.reshape(dnum, 2, n_t, R, _LANE))
+    if not lean:
+        args.add("ksk_sh", ks.reshape(dnum, 2, n_t, R, _LANE))
+    else:
+        args.add("t_pinv", dl.t_pinv.reshape(-1, 1))
+        args.add("t_rmod", dl.t_rmod.reshape(-1, 1))
+        args.add("t_rshoup", dl.t_rshoup.reshape(-1, 1))
+    _add_common(args, dl, n)
+    for i, dg in enumerate(dl.digits):
+        _add_digit(args, f"dg{i}", dg)
+    _add_digit(args, "md", dl.moddown)
+    args.add("pinv", dl.pinv_mod_q)
+    args.add("pinv_sh", dl.pinv_mod_q_shoup)
+
+    names = tuple(args.names)
+
+    def kernel(*refs):
+        g = _make_getter(names, refs[:-1])
+        ext = _decompose_k(g, nl, n_sp, digits, g("c"))
+        refs[-1][...] = _finish_k(g, nl, n_sp, dnum, ext, lean)
+
+    out = _call(kernel, args, (2, nl, R, _LANE))
+    return out.reshape(2, nl, n)

@@ -86,7 +86,7 @@ class ShardedKS:
 def make_sharded_keyswitch(ctx: CKKSContext, level: int, mesh: Mesh,
                            axis: str = "limb") -> ShardedKS:
     """Compile the distributed key-switch for `level` on `mesh[axis]`."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     m = int(mesh.shape[axis])
     dl = dev_level(ctx, level)
@@ -225,7 +225,7 @@ def make_sharded_keyswitch(ctx: CKKSContext, level: int, mesh: Mesh,
         body, mesh=mesh,
         in_specs=(P(axis),) * (3 + len(table_args)),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     fn = jax.jit(lambda c, kd, ks: sharded(c, kd, ks, *table_args))
     return ShardedKS(level=level, m=m, block=b, nl=nl, n_sp=n_sp,

@@ -79,7 +79,7 @@ def encrypted_dp_mp_step(ev: Evaluator, transforms: list, mesh: Mesh):
     rotations/keyswitches are chip-local; the cross-chip combine is
     all_gather('mp') + modular fold.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from dataclasses import replace
 
     level = transforms[0].level
@@ -124,7 +124,7 @@ def encrypted_dp_mp_step(ev: Evaluator, transforms: list, mesh: Mesh):
         step, mesh=mesh,
         in_specs=(P("dp", "mp"), P("mp"), P("mp")),
         out_specs=P("dp"),
-        check_rep=False,
+        check_vma=False,
     )
     return lambda x: smapped(x, pts_stack, sh_stack)
 
