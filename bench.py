@@ -83,7 +83,9 @@ def microbench():
 
     t_mult = timed(mult_chain, ct.data)
 
-    # --- raw hybrid key-switch (decompose + inner product + ModDown) ---
+    # --- raw hybrid key-switch (decompose + inner product + ModDown);
+    # auto-dispatch picks the fused Pallas kernel on accelerators ---
+    import os
     rk = keys.relin_key
 
     @jax.jit
@@ -95,6 +97,38 @@ def microbench():
         return out
 
     t_ks = timed(ks_chain, ct.data[1])
+
+    # unfused jnp path for comparison (same workload)
+    os.environ["ORION_TPU_FUSED_KS"] = "0"
+
+    @jax.jit
+    def ks_chain_jnp(c1):
+        def body(c, _):
+            out = ks_finish(ks_decompose(c, dl), dl, rk.data, rk.shoup)
+            return out[1], None
+        out, _ = jax.lax.scan(body, c1, None, length=reps)
+        return out
+
+    t_ks_jnp = timed(ks_chain_jnp, ct.data[1])
+    del os.environ["ORION_TPU_FUSED_KS"]
+
+    # --- ciphertext-batched ct-ct multiply (serving layout: vmap B cts
+    # through the same op so the VPU sees wide arrays) ---
+    B = 8
+    batch = jnp.broadcast_to(ct.data, (B,) + ct.data.shape)
+
+    @jax.jit
+    def mult_batched(data):
+        def one(c):
+            return ev.mul_relin(Ciphertext(c, level, s),
+                                Ciphertext(c, level, s),
+                                rescale=False).data
+        def body(c, _):
+            return jax.vmap(one)(c), None
+        out, _ = jax.lax.scan(body, data, None, length=reps)
+        return out
+
+    t_mult_b = timed(mult_batched, batch) / B
 
     # --- forward NTT over a full ciphertext (2 x L x N) ---
     @jax.jit
@@ -116,13 +150,17 @@ def microbench():
 
     return {
         "ct_mult_per_s": 1.0 / t_mult,
+        "ct_mult_batched_per_s": 1.0 / t_mult_b,
         "keyswitch_per_s": 1.0 / t_ks,
+        "keyswitch_jnp_per_s": 1.0 / t_ks_jnp,
         "ntt_per_s": 1.0 / t_ntt,
         "ct_mult_ms": t_mult * 1e3,
         "keyswitch_ms": t_ks * 1e3,
+        "keyswitch_jnp_ms": t_ks_jnp * 1e3,
         "ntt_us": t_ntt * 1e6,
         "keyswitch_hbm_frac": (ks_bytes / t_ks) / hbm_peak,
         "ct_mult_hbm_frac": (mult_bytes / t_mult) / hbm_peak,
+        "ct_mult_batched_hbm_frac": (mult_bytes / t_mult_b) / hbm_peak,
         "ntt_hbm_frac": (ntt_bytes / t_ntt) / hbm_peak,
         "params": {"logn": 13, "level": level, "dnum": dnum, "n_t": n_t},
     }

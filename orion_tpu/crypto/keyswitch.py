@@ -249,23 +249,27 @@ def fbc(z, dg: DevDigit, tgt_p):
 #  Key switching                                                     #
 # ------------------------------------------------------------------ #
 
-def _fused_ks(dl: DevLevel, ksk_bytes: int) -> bool:
-    """Route through the fused Pallas kernel (crypto/ks_pallas.py)?
+def _fused_enabled() -> bool:
+    """Is the fused Pallas key-switch path (crypto/ks_pallas.py) on?
 
-    ORION_TPU_FUSED_KS: "0" never, "1" whenever supported (incl. CPU
+    ORION_TPU_FUSED_KS: "0" never, "1" always when supported (incl. CPU
     interpret mode — tests), default "auto" = only on accelerators.
     """
     import os
     mode = os.environ.get("ORION_TPU_FUSED_KS", "auto")
     if mode == "0":
         return False
-    from .ks_pallas import ks_supported
-    if not ks_supported(dl, ksk_bytes):
-        return False
     if mode == "1":
         return True
     import jax
     return jax.default_backend() != "cpu"
+
+
+def _fused_ks(dl: DevLevel, ksk_bytes: int) -> bool:
+    if not _fused_enabled():
+        return False
+    from .ks_pallas import ks_supported
+    return ks_supported(dl, ksk_bytes)
 
 
 def _ksk_bytes(dl: DevLevel, lean: bool) -> int:
@@ -282,9 +286,12 @@ def ks_decompose(c_ntt, dl: DevLevel):
     decomposition serves every rotation of the same ciphertext — the
     hoisting trick behind fast BSGS (Lattigo parity).
     """
-    if _fused_ks(dl, 0):
-        from .ks_pallas import ks_decompose_pallas
-        return ks_decompose_pallas(c_ntt, dl)
+    if _fused_enabled():
+        from . import ks_pallas as kp
+        if kp.ks_supported(dl, 0):
+            return kp.ks_decompose_pallas(c_ntt, dl)
+        if kp.decompose_supported_grid(dl):
+            return kp.ks_decompose_pallas_grid(c_ntt, dl)
     c_coeff = ring_intt(c_ntt, dl.q_itw, dl.q_itw_shoup,
                         dl.q_ninv, dl.q_ninv_shoup, dl.q_p, dl, dl.q_t4)
     exts = []
@@ -308,9 +315,14 @@ def ks_finish(ext, dl: DevLevel, ksk_data, ksk_shoup=None, trimmed=False):
     inner product (a small share of a key-switch) for HALF the key HBM.
     Returns (2, level+1, N) in NTT domain.
     """
-    if _fused_ks(dl, _ksk_bytes(dl, ksk_shoup is None)):
-        from .ks_pallas import ks_finish_pallas
-        return ks_finish_pallas(ext, dl, ksk_data, ksk_shoup, trimmed)
+    if _fused_enabled():
+        from . import ks_pallas as kp
+        lean = ksk_shoup is None
+        if kp.ks_supported(dl, _ksk_bytes(dl, lean)):
+            return kp.ks_finish_pallas(ext, dl, ksk_data, ksk_shoup, trimmed)
+        if kp.finish_supported_grid(dl, lean):
+            return kp.ks_finish_pallas_grid(ext, dl, ksk_data, ksk_shoup,
+                                            trimmed)
     rows = None if trimmed else jnp.asarray(np.array(dl.ksk_rows, np.int32))
     tp = dl.t_p[:, None]
     acc0 = acc1 = None
@@ -350,6 +362,8 @@ def keyswitch(c_ntt, dl: DevLevel, ksk_data, ksk_shoup):
     if _fused_ks(dl, _ksk_bytes(dl, ksk_shoup is None)):
         from .ks_pallas import keyswitch_pallas
         return keyswitch_pallas(c_ntt, dl, ksk_data, ksk_shoup)
+    # larger levels: decompose/finish dispatch to the grid-streaming
+    # kernels individually when they fit
     return ks_finish(ks_decompose(c_ntt, dl), dl, ksk_data, ksk_shoup)
 
 

@@ -219,6 +219,291 @@ def _trim_ksk(ksk, ksk_shoup, dl, trimmed):
     return cut(ksk), None if ksk_shoup is None else cut(ksk_shoup)
 
 
+# ------------------------------------------------------------------ #
+#  Grid-streaming variants: one grid step per decomposition digit     #
+#  (per (digit, poly) for finish), so deep levels whose KSK/tables    #
+#  exceed VMEM stream through the Pallas pipeline with double-        #
+#  buffered DMA instead of falling back to the unfused jnp path.      #
+# ------------------------------------------------------------------ #
+
+
+def _pad_digits(dl):
+    """Stack per-digit FBC constants padded to alpha_max rows.
+
+    Padding a source row with qhat_inv = 0 zeroes its contribution exactly
+    (shoup_mul by 0 is 0); src_q pads with 1.0 so the float correction adds
+    0/1 = 0 for dead rows.
+    """
+    import jax.numpy as jnp
+    amax = max(int(dg.qhat_inv.shape[0]) for dg in dl.digits)
+    n_t = dl.level + 1 + int(dl.s_p.shape[0])
+
+    def pad(a, rows, fill=0.0):
+        if a.shape[0] == rows:
+            return a
+        padw = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, padw, constant_values=fill)
+
+    stacks = {k: [] for k in ("qi", "qi_sh", "conv", "conv_sh", "dmod",
+                              "dmod_sh", "srcq", "srcp", "lo")}
+    for dg in dl.digits:
+        stacks["qi"].append(pad(dg.qhat_inv[:, :, None], amax))
+        stacks["qi_sh"].append(pad(dg.qhat_inv_shoup[:, :, None], amax))
+        stacks["conv"].append(pad(dg.conv[:, :, :, None], amax))
+        stacks["conv_sh"].append(pad(dg.conv_shoup[:, :, :, None], amax))
+        stacks["dmod"].append(dg.d_mod_t[:, :, None])
+        stacks["dmod_sh"].append(dg.d_mod_t_shoup[:, :, None])
+        stacks["srcq"].append(pad(dg.src_q_f32[:, :, None], amax, 1.0))
+        stacks["srcp"].append(pad(dg.src_p[:, :, None], amax))
+        stacks["lo"].append(dg.src_lo)
+    out = {k: jnp.stack(v) for k, v in stacks.items() if k != "lo"}
+    out["lo"] = jnp.asarray(np.array(stacks["lo"], np.int32))[:, None]
+    return out, amax
+
+
+def _fbc_vals(qi, qi_sh, conv, conv_sh, dmod, dmod_sh, srcq, srcp,
+              z, tgtp, alpha):
+    zq = shoup_mul(z, qi, qi_sh, srcp)
+    frac = jnp.sum(zq.astype(jnp.float32) / srcq, axis=0)
+    v = jnp.round(frac).astype(jnp.uint32)
+    acc = None
+    for m in range(alpha):
+        term = shoup_mul(zq[m][None], conv[m], conv_sh[m], tgtp)
+        acc = term if acc is None else add_mod(acc, term, tgtp)
+    vterm = shoup_mul(v[None], dmod, dmod_sh, tgtp)
+    return sub_mod(acc, vterm, tgtp)
+
+
+def decompose_supported_grid(dl) -> bool:
+    if dl.t_t4 is None or dl.ci_keep is not None:
+        return False
+    nl = dl.level + 1
+    n_sp = int(dl.s_p.shape[0])
+    n_t = nl + n_sp
+    n = dl.ring_n
+    amax = max(int(dg.qhat_inv.shape[0]) for dg in dl.digits)
+    word = 4
+    est = (nl + (nl + amax) + 4 * n_t + 3 * n_t) * n * word
+    return est < _VMEM_BUDGET
+
+
+def finish_supported_grid(dl, lean: bool) -> bool:
+    if dl.t_t4 is None or dl.ci_keep is not None:
+        return False
+    nl = dl.level + 1
+    n_sp = int(dl.s_p.shape[0])
+    n_t = nl + n_sp
+    n = dl.ring_n
+    word = 4
+    ksk_step = n_t * n * word * (1 if lean else 2) * 2   # double-buffered
+    est = (2 * n_t + 2 * n_t + 2 * nl + 4 * nl + 4 * n_sp) * n * word \
+        + ksk_step
+    return est < _VMEM_BUDGET
+
+
+def ks_decompose_pallas_grid(c_ntt, dl):
+    """Grid-streaming ks_decompose: one grid step per digit."""
+    nl, n_sp, digits = _dl_static(dl)
+    dnum = len(digits)
+    n = c_ntt.shape[-1]
+    R = n // _LANE
+    n_t = nl + n_sp
+    dgc, amax = _pad_digits(dl)
+
+    args = _Args()
+    specs = []
+
+    def add(name, arr, spec):
+        args.add(name, arr)
+        specs.append(spec)
+
+    const = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda d: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    add("c", c_ntt.reshape(nl, R, _LANE), const(nl, R, _LANE))
+    for k in _T4_KEYS:
+        v = dl.t_t4[k]
+        add("t4_" + k, v, const(*v.shape))
+    add("p_t", dl.t_p.reshape(-1, 1), const(n_t, 1))
+    add("ninv_t", jnp.concatenate([dl.q_ninv, dl.s_ninv]).reshape(-1, 1),
+        const(n_t, 1))
+    add("ninv_sh_t",
+        jnp.concatenate([dl.q_ninv_shoup, dl.s_ninv_shoup]).reshape(-1, 1),
+        const(n_t, 1))
+    # per-digit blocks
+    for k in ("qi", "qi_sh", "conv", "conv_sh", "dmod", "dmod_sh",
+              "srcq", "srcp"):
+        v = dgc[k]
+        shp = (1,) + v.shape[1:]
+        add("dg_" + k, v, pl.BlockSpec(
+            shp, lambda d, _nd=v.ndim: (d,) + (0,) * (_nd - 1),
+            memory_space=pltpu.VMEM))
+    add("dg_lo", dgc["lo"], pl.BlockSpec(
+        (dnum, 1), lambda d: (0, 0), memory_space=pltpu.SMEM))
+
+    names = tuple(args.names)
+
+    def kernel(*refs):
+        in_refs = refs[:len(names)]
+        out_ref = refs[len(names)]
+        coeff = refs[len(names) + 1]
+        g = _make_getter(names, in_refs)
+        d = pl.program_id(0)
+        q_sl = slice(None, nl)
+
+        @pl.when(d == 0)
+        def _():
+            coeff[:nl] = intt4(
+                g("c").reshape(nl, n), _t4_slice(g, q_sl),
+                g("ninv_t")[q_sl, 0], g("ninv_sh_t")[q_sl, 0],
+                g("p_t")[q_sl, 0]).reshape(nl, R, _LANE)
+            coeff[nl:] = jnp.zeros((amax, R, _LANE), jnp.uint32)
+
+        lo = g("dg_lo")[d, 0]
+        z = coeff[pl.ds(lo, amax)]
+        tgtp = g("p_t")[:, :, None]
+        ext = _fbc_vals(g("dg_qi")[0], g("dg_qi_sh")[0], g("dg_conv")[0],
+                        g("dg_conv_sh")[0], g("dg_dmod")[0],
+                        g("dg_dmod_sh")[0], g("dg_srcq")[0],
+                        g("dg_srcp")[0], z, tgtp, amax)
+        out_ref[0] = ntt4(ext.reshape(n_t, n), _t4_slice(g, slice(None)),
+                          g("p_t")[:, 0]).reshape(n_t, R, _LANE)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(dnum,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, n_t, R, _LANE),
+                               lambda d: (d, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((dnum, n_t, R, _LANE), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((nl + amax, R, _LANE), jnp.uint32)],
+        interpret=_interpret(),
+    )(*args.arrays)
+    return out.reshape(dnum, n_t, n)
+
+
+def ks_finish_pallas_grid(ext, dl, ksk_data, ksk_shoup=None, trimmed=False):
+    """Grid-streaming ks_finish: grid (digit, poly); KSK blocks stream
+    through the pipeline, ModDown runs on the final step."""
+    nl, n_sp, digits = _dl_static(dl)
+    dnum = len(digits)
+    n = ext.shape[-1]
+    R = n // _LANE
+    n_t = nl + n_sp
+    lean = ksk_shoup is None
+    kd, ks = _trim_ksk(ksk_data, ksk_shoup, dl, trimmed)
+
+    args = _Args()
+    specs = []
+
+    def add(name, arr, spec):
+        args.add(name, arr)
+        specs.append(spec)
+
+    const = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda d, q: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    add("ext", ext.reshape(dnum, n_t, R, _LANE), pl.BlockSpec(
+        (1, n_t, R, _LANE), lambda d, q: (d, 0, 0, 0),
+        memory_space=pltpu.VMEM))
+    add("ksk", kd.reshape(dnum, 2, n_t, R, _LANE), pl.BlockSpec(
+        (1, 1, n_t, R, _LANE), lambda d, q: (d, q, 0, 0, 0),
+        memory_space=pltpu.VMEM))
+    if not lean:
+        add("ksk_sh", ks.reshape(dnum, 2, n_t, R, _LANE), pl.BlockSpec(
+            (1, 1, n_t, R, _LANE), lambda d, q: (d, q, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+    else:
+        add("t_pinv", dl.t_pinv.reshape(-1, 1), const(n_t, 1))
+        add("t_rmod", dl.t_rmod.reshape(-1, 1), const(n_t, 1))
+        add("t_rshoup", dl.t_rshoup.reshape(-1, 1), const(n_t, 1))
+    for k in _T4_KEYS:
+        v = dl.t_t4[k]
+        add("t4_" + k, v, const(*v.shape))
+    add("p_t", dl.t_p.reshape(-1, 1), const(n_t, 1))
+    add("ninv_t", jnp.concatenate([dl.q_ninv, dl.s_ninv]).reshape(-1, 1),
+        const(n_t, 1))
+    add("ninv_sh_t",
+        jnp.concatenate([dl.q_ninv_shoup, dl.s_ninv_shoup]).reshape(-1, 1),
+        const(n_t, 1))
+    md = dl.moddown
+    add("md_qi", md.qhat_inv[:, :, None], const(n_sp, 1, 1))
+    add("md_qi_sh", md.qhat_inv_shoup[:, :, None], const(n_sp, 1, 1))
+    add("md_conv", md.conv[:, :, :, None], const(n_sp, nl, 1, 1))
+    add("md_conv_sh", md.conv_shoup[:, :, :, None], const(n_sp, nl, 1, 1))
+    add("md_dmod", md.d_mod_t[:, :, None], const(nl, 1, 1))
+    add("md_dmod_sh", md.d_mod_t_shoup[:, :, None], const(nl, 1, 1))
+    add("md_srcq", md.src_q_f32[:, :, None], const(n_sp, 1, 1))
+    add("md_srcp", md.src_p[:, :, None], const(n_sp, 1, 1))
+    add("pinv", dl.pinv_mod_q, const(nl, 1))
+    add("pinv_sh", dl.pinv_mod_q_shoup, const(nl, 1))
+
+    names = tuple(args.names)
+
+    def kernel(*refs):
+        in_refs = refs[:len(names)]
+        out_ref = refs[len(names)]
+        acc = refs[len(names) + 1]
+        g = _make_getter(names, in_refs)
+        d = pl.program_id(0)
+        q = pl.program_id(1)
+        tp = g("p_t")[:, :, None]
+        e = g("ext")[0]
+        if lean:
+            pinv_t = g("t_pinv")[:, :, None]
+            rm = g("t_rmod")[:, :, None]
+            rs = g("t_rshoup")[:, :, None]
+            term = mul_mod(e, g("ksk")[0, 0], tp, pinv_t, rm, rs)
+        else:
+            term = shoup_mul(e, g("ksk")[0, 0], g("ksk_sh")[0, 0], tp)
+
+        @pl.when(d == 0)
+        def _():
+            acc[pl.ds(q, 1)] = term[None]
+
+        @pl.when(d > 0)
+        def _():
+            acc[pl.ds(q, 1)] = add_mod(acc[pl.ds(q, 1)], term[None],
+                                       tp[None])
+
+        @pl.when(jnp.logical_and(d == dnum - 1, q == 1))
+        def _():
+            a = acc[...]
+            q_sl = slice(None, nl)
+            s_sl = slice(nl, None)
+            qpart = a[:, :nl]
+            ppart = a[:, nl:]
+            pp_coeff = intt4(
+                ppart.reshape(2, n_sp, n), _t4_slice(g, s_sl),
+                g("ninv_t")[s_sl, 0], g("ninv_sh_t")[s_sl, 0],
+                g("p_t")[s_sl, 0]).reshape(2, n_sp, R, _LANE)
+            qp = g("p_t")[q_sl][:, :, None]
+            lift = jnp.stack([
+                _fbc_vals(g("md_qi"), g("md_qi_sh"), g("md_conv"),
+                          g("md_conv_sh"), g("md_dmod"), g("md_dmod_sh"),
+                          g("md_srcq"), g("md_srcp"), pp_coeff[i], qp, n_sp)
+                for i in range(2)])
+            lift_ntt = ntt4(lift.reshape(2, nl, n), _t4_slice(g, q_sl),
+                            g("p_t")[q_sl, 0]).reshape(2, nl, R, _LANE)
+            diff = sub_mod(qpart, lift_ntt, qp)
+            out_ref[...] = shoup_mul(diff, g("pinv")[:, :, None],
+                                     g("pinv_sh")[:, :, None], qp)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(dnum, 2),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((2, nl, R, _LANE),
+                               lambda d, q: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, nl, R, _LANE), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((2, n_t, R, _LANE), jnp.uint32)],
+        interpret=_interpret(),
+    )(*args.arrays)
+    return out.reshape(2, nl, n)
+
+
 def ks_decompose_pallas(c_ntt, dl):
     """Pallas ks_decompose: (nl, N) -> (dnum, n_t, N), bit-exact."""
     nl, n_sp, digits = _dl_static(dl)

@@ -71,10 +71,14 @@ def make_module_runner(scheme):
     constants — required by the remote-compile transport and healthy
     everywhere.
     """
+    import os
+    import time
+
     from .buffers import collect_swappables
 
     cache = {}
     swaps_by_module = {}
+    log = os.environ.get("ORION_TPU_JIT_LOG", "") not in ("", "0")
 
     def run(module, args):
         spec = []
@@ -127,6 +131,24 @@ def make_module_runner(scheme):
                 return [c.data for c in out.cts]
 
             cache[key] = (jax.jit(fn), side)
+            if log:
+                bufs = [sw.getter() for sw in swaps]
+                mb = sum(getattr(b, "nbytes", 0) for b in bufs) / 1e6
+                name = getattr(module, "_orion_name", None) or \
+                    type(module).__name__
+                print(f"[jit] NEW program for {name} "
+                      f"(bufs {mb:.0f} MB, {len(cache)} programs so far)",
+                      flush=True)
+                t0 = time.time()
+                outs = cache[key][0](flat, bufs)
+                jax.block_until_ready(outs)
+                print(f"[jit] {name}: compile+run {time.time()-t0:.1f}s",
+                      flush=True)
+                lv, sc, shape, on_shape = cache[key][1]["meta"]
+                return CipherTensor(
+                    scheme,
+                    [Ciphertext(d, l, s)
+                     for d, l, s in zip(outs, lv, sc)], shape, on_shape)
         jf, side = cache[key]
         outs = jf(flat, [sw.getter() for sw in swaps])
         lv, sc, shape, on_shape = side["meta"]

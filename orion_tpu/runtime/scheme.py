@@ -161,6 +161,8 @@ class Scheme:
 
         dag = NetworkDAG(self.tracer).build_dag()
 
+        for name, module in net.named_modules():
+            module._orion_name = name   # debug/trace labels (runtime/jit.py)
         for module in net.modules():
             if hasattr(module, "init_orion_params"):
                 module.init_orion_params()

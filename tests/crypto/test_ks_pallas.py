@@ -65,6 +65,32 @@ def test_trimmed_finish_bit_exact(setup):
     assert np.array_equal(ref, got)
 
 
+def test_grid_kernels_bit_exact():
+    """Grid-streaming variants (one step per digit) on a deeper chain with
+    an uneven last digit."""
+    ctx = CKKSContext(logn=8, logq=[29] + [26] * 8, logp=[29, 29, 29],
+                      logscale=26, h=64, seed=3)
+    keys = KeyChest(ctx)
+    rng = np.random.default_rng(7)
+    for level in (ctx.max_level, 4):
+        dl = dev_level(ctx, level)
+        c = jnp.asarray(rng.integers(
+            0, min(ctx.primes), (level + 1, ctx.n)).astype(np.uint32))
+        ref_ext = np.asarray(ks_decompose(c, dl))
+        got_ext = np.asarray(ks_pallas.ks_decompose_pallas_grid(c, dl))
+        assert np.array_equal(ref_ext, got_ext)
+        rk = keys.relin_key
+        ext = ks_decompose(c, dl)
+        ref = np.asarray(ks_finish(ext, dl, rk.data, rk.shoup))
+        got = np.asarray(ks_pallas.ks_finish_pallas_grid(
+            ext, dl, rk.data, rk.shoup))
+        assert np.array_equal(ref, got)
+        ref_l = np.asarray(ks_finish(ext, dl, rk.data, None))
+        got_l = np.asarray(ks_pallas.ks_finish_pallas_grid(
+            ext, dl, rk.data, None))
+        assert np.array_equal(ref_l, got_l)
+
+
 def test_env_dispatch(setup, monkeypatch):
     """ORION_TPU_FUSED_KS=1 routes the public API through the kernel."""
     ctx, keys, dl, c = setup
