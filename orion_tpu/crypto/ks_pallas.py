@@ -8,9 +8,10 @@ HBM roofline.  This kernel keeps the entire working set resident in VMEM:
     iNTT(Q rows) -> per-digit fast basis conversion -> NTT(t rows)
       -> KSK inner product -> ModDown (iNTT specials, FBC, NTT, P^-1)
 
-Everything inside is the SAME pure-jnp arithmetic as keyswitch.py/ntt4.py
-(the kernel body literally calls ntt4/intt4/shoup_mul), so outputs are
-bit-identical to the unfused path — tests assert equality.
+Everything inside computes the SAME linear maps as keyswitch.py/ntt4.py
+(butterflies are re-expressed as rolls+selects because Mosaic has no
+lane-dim reshapes), so outputs are bit-identical to the unfused path —
+tests assert equality.
 
 Scope: standard ring, four-step tables available (N >= 256), working set
 within the VMEM budget (checked; larger levels fall back to the jnp path).
@@ -30,15 +31,90 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .modops import add_mod, mul_mod, shoup_mul, sub_mod
-from .ntt4 import intt4, ntt4
 
 _LANE = 128
 # VMEM is 16MB/core; leave headroom for Mosaic temporaries
 _VMEM_BUDGET = 10 * 1024 * 1024
 
-_T4_KEYS = ("rowtw", "rowtw_sh", "lanetw", "lanetw_sh", "twist", "twist_sh",
-            "i_rowtw", "i_rowtw_sh", "i_lanetw", "i_lanetw_sh",
-            "i_twist", "i_twist_sh")
+# tables the kernels consume (stage stacks are the Pallas layouts built by
+# ntt4.build_t4_tables: lane/sublane-sliceable, no lane-dim reshapes)
+_T4_KEYS = ("twist", "twist_sh", "i_twist", "i_twist_sh",
+            "rowstack", "rowstack_sh", "lanestack", "lanestack_sh")
+
+
+def _iota_mask(shape, ndim, axis, bit):
+    """(index & bit) == 0 mask along `axis` (negative) of a value."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, ndim + axis)
+    return (idx & bit) == 0
+
+
+def _roll(a, shift, axis):
+    ax = a.ndim + axis
+    size = a.shape[ax]
+    return pltpu.roll(a, shift % size, axis=ax)
+
+
+def _butterfly_fwd(a, w, wsh, p3, dist, axis):
+    """One CT stage via rolls+selects: pairs (j, j+dist) along `axis`
+    (-2 rows, -1 lanes).  Lower j: out = u + w*v; upper: out = u - w*v.
+    Twiddle w broadcasts along the other minor dim and any batch dims.
+    """
+    low = _iota_mask(a.shape, a.ndim, axis, dist)
+    up = _roll(a, -dist, axis)
+    down = _roll(a, dist, axis)
+    m = shoup_mul(jnp.where(low, up, a), w, wsh, p3)
+    return jnp.where(low, add_mod(a, m, p3), sub_mod(down, m, p3))
+
+
+def _butterfly_inv(a, w, wsh, p3, dist, axis):
+    """One GS stage: lower out = u + v; upper out = (u - v) * w."""
+    low = _iota_mask(a.shape, a.ndim, axis, dist)
+    up = _roll(a, -dist, axis)
+    down = _roll(a, dist, axis)
+    return jnp.where(low, add_mod(a, up, p3),
+                     shoup_mul(sub_mod(down, a, p3), w, wsh, p3))
+
+
+def _kntt(a, t4, p3):
+    """Forward four-step NTT on (..., L, R, LANE) values inside a kernel.
+
+    Same linear map as ntt4.ntt4 (bit-exact); butterflies use rolls and
+    per-stage twiddle vectors lane/sublane-sliced from the packed stacks
+    (Mosaic supports rolls, selects and minor-dim broadcasts; it has no
+    lane-dim reshapes, which rules out the jnp ntt4 formulation here).
+    """
+    R = a.shape[-2]
+    logR = R.bit_length() - 1
+    for s in range(logR):
+        tr = R >> (s + 1)
+        w = t4["rowstack"][:, :, s:s + 1]
+        wsh = t4["rowstack_sh"][:, :, s:s + 1]
+        a = _butterfly_fwd(a, w, wsh, p3, tr, -2)
+    a = shoup_mul(a, t4["twist"], t4["twist_sh"], p3)
+    for k in range(7):
+        t = _LANE >> (k + 1)
+        w = t4["lanestack"][:, k:k + 1, :]
+        wsh = t4["lanestack_sh"][:, k:k + 1, :]
+        a = _butterfly_fwd(a, w, wsh, p3, t, -1)
+    return a
+
+
+def _kintt(a, t4, ninv3, ninv3_sh, p3):
+    """Inverse four-step NTT on (..., L, R, LANE) values inside a kernel."""
+    R = a.shape[-2]
+    logR = R.bit_length() - 1
+    for k in range(7):
+        t = 1 << k
+        w = t4["lanestack"][:, 8 + k:9 + k, :]
+        wsh = t4["lanestack_sh"][:, 8 + k:9 + k, :]
+        a = _butterfly_inv(a, w, wsh, p3, t, -1)
+    a = shoup_mul(a, t4["i_twist"], t4["i_twist_sh"], p3)
+    for k in range(logR):
+        rk = 1 << k
+        w = t4["rowstack"][:, :, 16 + k:17 + k]
+        wsh = t4["rowstack_sh"][:, :, 16 + k:17 + k]
+        a = _butterfly_inv(a, w, wsh, p3, rk, -2)
+    return shoup_mul(a, ninv3, ninv3_sh, p3)
 
 
 def _interpret():
@@ -94,8 +170,11 @@ def _add_digit(args: _Args, name, dg):
 def _fbc_k(g, name, z, tgtp, alpha):
     """In-kernel fast basis conversion; z (alpha, R, LANE) coeff domain."""
     zq = shoup_mul(z, g(name + "_qi"), g(name + "_qi_sh"), g(name + "_srcp"))
-    frac = jnp.sum(zq.astype(jnp.float32) / g(name + "_srcq"), axis=0)
-    v = jnp.round(frac).astype(jnp.uint32)
+    # u32<->f32 casts route via i32 (values < 2^31, exact): Mosaic has no
+    # direct unsigned<->float cast
+    zf = zq.astype(jnp.int32).astype(jnp.float32)
+    frac = jnp.sum(zf / g(name + "_srcq"), axis=0)
+    v = jnp.round(frac).astype(jnp.int32).astype(jnp.uint32)
     acc = None
     for m in range(alpha):
         term = shoup_mul(zq[m][None], g(name + "_conv")[m],
@@ -111,20 +190,17 @@ def _t4_slice(g, sl):
 
 def _decompose_k(g, nl, n_sp, digits, c):
     """c (nl, R, LANE) NTT domain -> ext (dnum, n_t, R, LANE) NTT domain."""
-    n_t = nl + n_sp
-    R = c.shape[-2]
-    n = R * _LANE
     q_sl = slice(None, nl)
-    coeff = intt4(c.reshape(nl, n), _t4_slice(g, q_sl),
-                  g("ninv_t")[q_sl, 0], g("ninv_sh_t")[q_sl, 0],
-                  g("p_t")[q_sl, 0]).reshape(nl, R, _LANE)
+    p_q = g("p_t")[q_sl][:, :, None]
+    coeff = _kintt(c, _t4_slice(g, q_sl),
+                   g("ninv_t")[q_sl][:, :, None],
+                   g("ninv_sh_t")[q_sl][:, :, None], p_q)
     tgtp = g("p_t")[:, :, None]
     t4_t = _t4_slice(g, slice(None))
     exts = []
     for i, (lo, hi, alpha) in enumerate(digits):
         ext = _fbc_k(g, f"dg{i}", coeff[lo:hi], tgtp, alpha)
-        exts.append(ntt4(ext.reshape(n_t, n), t4_t,
-                         g("p_t")[:, 0]).reshape(n_t, R, _LANE))
+        exts.append(_kntt(ext, t4_t, tgtp))
     return jnp.stack(exts)
 
 
@@ -157,14 +233,14 @@ def _finish_k(g, nl, n_sp, dnum, ext, lean):
     s_sl = slice(nl, None)
     qpart = acc[:, :nl]
     ppart = acc[:, nl:]
-    pp_coeff = intt4(ppart.reshape(2, n_sp, n), _t4_slice(g, s_sl),
-                     g("ninv_t")[s_sl, 0], g("ninv_sh_t")[s_sl, 0],
-                     g("p_t")[s_sl, 0]).reshape(2, n_sp, R, _LANE)
+    pp_coeff = _kintt(ppart, _t4_slice(g, s_sl),
+                      g("ninv_t")[s_sl][:, :, None],
+                      g("ninv_sh_t")[s_sl][:, :, None],
+                      g("p_t")[s_sl][:, :, None])
     qp = g("p_t")[q_sl][:, :, None]
     lift = jnp.stack([_fbc_k(g, "md", pp_coeff[i], qp, n_sp)
                       for i in range(2)])
-    lift_ntt = ntt4(lift.reshape(2, nl, n), _t4_slice(g, q_sl),
-                    g("p_t")[q_sl, 0]).reshape(2, nl, R, _LANE)
+    lift_ntt = _kntt(lift, _t4_slice(g, q_sl), qp)
     diff = sub_mod(qpart, lift_ntt, qp)
     return shoup_mul(diff, g("pinv")[:, :, None], g("pinv_sh")[:, :, None],
                      qp)
@@ -245,8 +321,11 @@ def _pad_digits(dl):
         return jnp.pad(a, padw, constant_values=fill)
 
     stacks = {k: [] for k in ("qi", "qi_sh", "conv", "conv_sh", "dmod",
-                              "dmod_sh", "srcq", "srcp", "lo")}
-    for dg in dl.digits:
+                              "dmod_sh", "srcq", "srcp")}
+    for j, dg in enumerate(dl.digits):
+        # digits are contiguous alpha-sized source blocks (context.py
+        # _build_level_tables), so src_lo == j * amax — no index input
+        assert dg.src_lo == j * amax or dg.src_lo == 0 and j == 0
         stacks["qi"].append(pad(dg.qhat_inv[:, :, None], amax))
         stacks["qi_sh"].append(pad(dg.qhat_inv_shoup[:, :, None], amax))
         stacks["conv"].append(pad(dg.conv[:, :, :, None], amax))
@@ -255,17 +334,16 @@ def _pad_digits(dl):
         stacks["dmod_sh"].append(dg.d_mod_t_shoup[:, :, None])
         stacks["srcq"].append(pad(dg.src_q_f32[:, :, None], amax, 1.0))
         stacks["srcp"].append(pad(dg.src_p[:, :, None], amax))
-        stacks["lo"].append(dg.src_lo)
-    out = {k: jnp.stack(v) for k, v in stacks.items() if k != "lo"}
-    out["lo"] = jnp.asarray(np.array(stacks["lo"], np.int32))[:, None]
+    out = {k: jnp.stack(v) for k, v in stacks.items()}
     return out, amax
 
 
 def _fbc_vals(qi, qi_sh, conv, conv_sh, dmod, dmod_sh, srcq, srcp,
               z, tgtp, alpha):
     zq = shoup_mul(z, qi, qi_sh, srcp)
-    frac = jnp.sum(zq.astype(jnp.float32) / srcq, axis=0)
-    v = jnp.round(frac).astype(jnp.uint32)
+    zf = zq.astype(jnp.int32).astype(jnp.float32)
+    frac = jnp.sum(zf / srcq, axis=0)
+    v = jnp.round(frac).astype(jnp.int32).astype(jnp.uint32)
     acc = None
     for m in range(alpha):
         term = shoup_mul(zq[m][None], conv[m], conv_sh[m], tgtp)
@@ -338,9 +416,6 @@ def ks_decompose_pallas_grid(c_ntt, dl):
         add("dg_" + k, v, pl.BlockSpec(
             shp, lambda d, _nd=v.ndim: (d,) + (0,) * (_nd - 1),
             memory_space=pltpu.VMEM))
-    add("dg_lo", dgc["lo"], pl.BlockSpec(
-        (dnum, 1), lambda d: (0, 0), memory_space=pltpu.SMEM))
-
     names = tuple(args.names)
 
     def kernel(*refs):
@@ -353,21 +428,20 @@ def ks_decompose_pallas_grid(c_ntt, dl):
 
         @pl.when(d == 0)
         def _():
-            coeff[:nl] = intt4(
-                g("c").reshape(nl, n), _t4_slice(g, q_sl),
-                g("ninv_t")[q_sl, 0], g("ninv_sh_t")[q_sl, 0],
-                g("p_t")[q_sl, 0]).reshape(nl, R, _LANE)
+            coeff[:nl] = _kintt(
+                g("c"), _t4_slice(g, q_sl),
+                g("ninv_t")[q_sl][:, :, None],
+                g("ninv_sh_t")[q_sl][:, :, None],
+                g("p_t")[q_sl][:, :, None])
             coeff[nl:] = jnp.zeros((amax, R, _LANE), jnp.uint32)
 
-        lo = g("dg_lo")[d, 0]
-        z = coeff[pl.ds(lo, amax)]
+        z = coeff[pl.ds(d * amax, amax)]
         tgtp = g("p_t")[:, :, None]
         ext = _fbc_vals(g("dg_qi")[0], g("dg_qi_sh")[0], g("dg_conv")[0],
                         g("dg_conv_sh")[0], g("dg_dmod")[0],
                         g("dg_dmod_sh")[0], g("dg_srcq")[0],
                         g("dg_srcp")[0], z, tgtp, amax)
-        out_ref[0] = ntt4(ext.reshape(n_t, n), _t4_slice(g, slice(None)),
-                          g("p_t")[:, 0]).reshape(n_t, R, _LANE)
+        out_ref[0] = _kntt(ext, _t4_slice(g, slice(None)), tgtp)
 
     out = pl.pallas_call(
         kernel,
@@ -474,18 +548,18 @@ def ks_finish_pallas_grid(ext, dl, ksk_data, ksk_shoup=None, trimmed=False):
             s_sl = slice(nl, None)
             qpart = a[:, :nl]
             ppart = a[:, nl:]
-            pp_coeff = intt4(
-                ppart.reshape(2, n_sp, n), _t4_slice(g, s_sl),
-                g("ninv_t")[s_sl, 0], g("ninv_sh_t")[s_sl, 0],
-                g("p_t")[s_sl, 0]).reshape(2, n_sp, R, _LANE)
+            pp_coeff = _kintt(
+                ppart, _t4_slice(g, s_sl),
+                g("ninv_t")[s_sl][:, :, None],
+                g("ninv_sh_t")[s_sl][:, :, None],
+                g("p_t")[s_sl][:, :, None])
             qp = g("p_t")[q_sl][:, :, None]
             lift = jnp.stack([
                 _fbc_vals(g("md_qi"), g("md_qi_sh"), g("md_conv"),
                           g("md_conv_sh"), g("md_dmod"), g("md_dmod_sh"),
                           g("md_srcq"), g("md_srcp"), pp_coeff[i], qp, n_sp)
                 for i in range(2)])
-            lift_ntt = ntt4(lift.reshape(2, nl, n), _t4_slice(g, q_sl),
-                            g("p_t")[q_sl, 0]).reshape(2, nl, R, _LANE)
+            lift_ntt = _kntt(lift, _t4_slice(g, q_sl), qp)
             diff = sub_mod(qpart, lift_ntt, qp)
             out_ref[...] = shoup_mul(diff, g("pinv")[:, :, None],
                                      g("pinv_sh")[:, :, None], qp)

@@ -108,8 +108,21 @@ def build_t4_tables(tw: np.ndarray, itw: np.ndarray, psis, primes,
         twist[li] = pw[texp]
         i_twist[li] = pw[(2 * n - texp) % (2 * n)]
 
+    # Pallas-kernel layouts (crypto/ks_pallas.py): stage twiddles packed so
+    # the kernel extracts each stage's vector with a plain lane/sublane
+    # slice (Mosaic has no lane-dim reshapes).  rowstack lane s = forward
+    # row-stage-s per-row twiddle, lane 16+s = inverse; lanestack sublane k
+    # = forward lane-stage-k per-lane twiddle, sublane 8+k = inverse.
+    rowstack = np.zeros((L, R, _LANE), np.uint32)
+    lanestack = np.zeros((L, 16, _LANE), np.uint32)
+    rowstack[:, :, :logR] = rowtw.transpose(0, 2, 1)
+    rowstack[:, :, 16:16 + logR] = i_rowtw.transpose(0, 2, 1)
+    lanestack[:, :7] = lanetw
+    lanestack[:, 8:15] = i_lanetw
+
     out = {"rowtw": rowtw, "lanetw": lanetw, "twist": twist,
-           "i_lanetw": i_lanetw, "i_twist": i_twist, "i_rowtw": i_rowtw}
+           "i_lanetw": i_lanetw, "i_twist": i_twist, "i_rowtw": i_rowtw,
+           "rowstack": rowstack, "lanestack": lanestack}
     for k in list(out):
         sh = np.zeros_like(out[k])
         for li in range(L):
