@@ -6,6 +6,8 @@ top of the user chain.
 """
 
 import numpy as np
+import os
+
 import pytest
 
 import orion_tpu as orion
@@ -88,6 +90,12 @@ def test_eval_mod_poly_quality():
     assert np.max(np.abs(got - want)) < 1e-9
 
 
+SLOW = pytest.mark.skipif(
+    not os.environ.get("ORION_TPU_SLOW_TESTS"),
+    reason="slow tier: set ORION_TPU_SLOW_TESTS=1 (covered in CI)")
+
+
+@SLOW
 def test_sparse_bootstrap(scheme):
     """s-point circuit on a zero-padded ciphertext: first s slots carry the
     refreshed message, upper slots its replicas (sparse packing)."""
@@ -120,6 +128,7 @@ def test_sparse_bootstrap(scheme):
     assert float(np.max(np.abs(rep - rep[0]))) < 2e-3
 
 
+@SLOW
 def test_fullband_bootstrap():
     """Full-range messages (x in [-1, 1]): wide split q0 + MessageRatio
     prescale + 2^60 EvalMod working scale (VERDICT item 3 — no headroom

@@ -7,7 +7,10 @@ The ring is small (LogN 9) to keep the CPU backend tractable; the REGIME
 under test is the modulus/scale arithmetic, which is ring-size independent.
 """
 
+import os
+
 import numpy as np
+import pytest
 
 import orion_tpu as orion
 import orion_tpu.nn as on
@@ -34,6 +37,9 @@ CONFIG = {
 }
 
 
+@pytest.mark.skipif(
+    not os.environ.get("ORION_TPU_SLOW_TESTS"),
+    reason="slow tier: set ORION_TPU_SLOW_TESTS=1 (covered in CI)")
 def test_refregime_residual_bootstrap_e2e():
     scheme = orion.scheme.init_scheme(CONFIG)
     assert scheme.params.logscale == 30

@@ -63,7 +63,12 @@ class TinyResNet2(on.Module):
         return self.fc(self.flatten(y))
 
 
-@pytest.mark.parametrize("io_mode", ["none", "stream"])
+@pytest.mark.parametrize("io_mode", [
+    pytest.param("none", marks=pytest.mark.skipif(
+        not os.environ.get("ORION_TPU_SLOW_TESTS"),
+        reason="slow tier; [stream] covers the production path")),
+    "stream",
+])
 def test_residual_bootstrap_e2e(io_mode):
     # "stream" runs the ResNet production path: compiled buffers (keys,
     # diagonals, bootstrap circuits) stay in HOST numpy (crypto/placement)

@@ -9,7 +9,10 @@ post-trace shape resolution, and the conv->linear multiplexed interface.
 Bootstrap-free (deep enough chain) so the CPU suite stays fast.
 """
 
+import os
+
 import numpy as np
+import pytest
 
 import orion_tpu as orion
 import orion_tpu.nn as on
@@ -64,6 +67,9 @@ def _chebyshev_clear_fn(act):
     return fn
 
 
+@pytest.mark.skipif(
+    not os.environ.get("ORION_TPU_SLOW_TESTS"),
+    reason="slow tier: set ORION_TPU_SLOW_TESTS=1 (covered in CI)")
 def test_vgg_tiny_encrypted():
     scheme = orion.scheme.init_scheme(CONFIG)
     net = TinyVGG()
