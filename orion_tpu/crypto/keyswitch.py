@@ -200,26 +200,36 @@ def _build_dev_level(ctx: CKKSContext, level: int,
 
 
 def ring_ntt(a, tw, tw_shoup, p, dl: DevLevel, t4=None):
-    """Forward NTT dispatching on ring type and four-step availability."""
+    """Forward NTT dispatching on ring type, four-step availability, and
+    the fused Pallas kernel (stage-resident in VMEM) when it fits."""
     if t4 is not None:
         from .ntt4 import ntt4
-        if dl.ci_keep is None:
-            return ntt4(a, t4, p)
-        from .ntt import ci_lift
-        return ntt4(ci_lift(a, p), t4, p)[..., dl.ci_keep]
+        if dl.ci_keep is not None:
+            from .ntt import ci_lift
+            a = ci_lift(a, p)
+        if _fused_enabled():
+            from . import ks_pallas as kp
+            out = kp.pallas_ntt4(a, t4, p)
+        else:
+            out = ntt4(a, t4, p)
+        return out if dl.ci_keep is None else out[..., dl.ci_keep]
     if dl.ci_keep is None:
         return ntt(a, tw, tw_shoup, p)
     return ci_ntt(a, tw, tw_shoup, p, dl.ci_keep)
 
 
 def ring_intt(a, itw, itw_shoup, ninv, ninv_shoup, p, dl: DevLevel, t4=None):
-    """Inverse NTT dispatching on ring type and four-step availability."""
+    """Inverse NTT dispatching (see ring_ntt)."""
     if t4 is not None:
         from .ntt4 import intt4
-        if dl.ci_src is None:
-            return intt4(a, t4, ninv, ninv_shoup, p)
-        return intt4(a[..., dl.ci_src], t4, ninv, ninv_shoup,
-                     p)[..., : dl.ring_n]
+        if dl.ci_src is not None:
+            a = a[..., dl.ci_src]
+        if _fused_enabled():
+            from . import ks_pallas as kp
+            out = kp.pallas_intt4(a, t4, ninv, ninv_shoup, p)
+        else:
+            out = intt4(a, t4, ninv, ninv_shoup, p)
+        return out if dl.ci_src is None else out[..., : dl.ring_n]
     if dl.ci_src is None:
         return intt(a, itw, itw_shoup, ninv, ninv_shoup, p)
     return ci_intt(a, itw, itw_shoup, ninv, ninv_shoup, p,

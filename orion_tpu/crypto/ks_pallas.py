@@ -185,7 +185,13 @@ def _fbc_k(g, name, z, tgtp, alpha):
 
 
 def _t4_slice(g, sl):
-    return {k: g("t4_" + k)[sl] for k in _T4_KEYS}
+    out = {}
+    for k in _T4_KEYS:
+        try:
+            out[k] = g("t4_" + k)[sl]
+        except KeyError:
+            pass  # kernels that only run one direction pass fewer tables
+    return out
 
 
 def _decompose_k(g, nl, n_sp, digits, c):
@@ -293,6 +299,100 @@ def _trim_ksk(ksk, ksk_shoup, dl, trimmed):
         return jnp.concatenate([k[:dnum, :, :nl], k[:dnum, :, n_q_total:]],
                                axis=2)
     return cut(ksk), None if ksk_shoup is None else cut(ksk_shoup)
+
+
+# ------------------------------------------------------------------ #
+#  Standalone Pallas NTT/iNTT: one kernel per transform bundle.       #
+#  For levels whose whole key-switch exceeds VMEM, the jnp key-switch #
+#  structure is kept (FBC / inner product are elementwise and fuse    #
+#  fine in XLA) but every NTT bundle runs stage-fused in VMEM through #
+#  these kernels — ring_ntt/ring_intt dispatch here (keyswitch.py).   #
+# ------------------------------------------------------------------ #
+
+
+def _limb_chunks(batch_rows: int, limbs: int, n: int):
+    """Split the limb axis so each kernel call fits the VMEM budget.
+
+    Per-limb cost: data in+out+temps (~3x batch_rows) plus tables
+    (twist+shoup = 2 R*LANE rows, rowstack+shoup 2 more, lanestack small).
+    """
+    per_limb = (3 * batch_rows + 5) * n * 4
+    c = max(1, _VMEM_BUDGET // per_limb)
+    return [(lo, min(lo + c, limbs)) for lo in range(0, limbs, c)]
+
+
+def pallas_ntt4(a, t4, p):
+    """Forward NTT over the last axis via Pallas kernels (bit-exact vs
+    ntt4.ntt4), auto-chunked over the (independent) limb axis so any
+    level fits VMEM.  a: (..., L, N); t4 sliced to a's limb rows."""
+    *batch, L, n = a.shape
+    R = n // _LANE
+    B = int(np.prod(batch)) if batch else 1
+    keys = ("twist", "twist_sh", "rowstack", "rowstack_sh",
+            "lanestack", "lanestack_sh")
+
+    def one(a_c, t4_c, p_c):
+        args = _Args()
+        args.add("a", a_c.reshape(*batch, a_c.shape[-2], R, _LANE))
+        for k in keys:
+            args.add("t4_" + k, t4_c[k])
+        args.add("p", p_c.reshape(-1, 1))
+        names = tuple(args.names)
+
+        def kernel(*refs):
+            g = _make_getter(names, refs[:-1])
+            refs[-1][...] = _kntt(g("a"), _t4_slice(g, slice(None)),
+                                  g("p")[:, :, None])
+
+        out = _call(kernel, args,
+                    tuple(batch) + (a_c.shape[-2], R, _LANE))
+        return out.reshape(*batch, a_c.shape[-2], n)
+
+    chunks = _limb_chunks(B, L, n)
+    if len(chunks) == 1:
+        return one(a, {k: t4[k] for k in keys}, p)
+    outs = [one(a[..., lo:hi, :],
+                {k: t4[k][lo:hi] for k in keys}, p[lo:hi])
+            for lo, hi in chunks]
+    return jnp.concatenate(outs, axis=-2)
+
+
+def pallas_intt4(a, t4, ninv, ninv_shoup, p):
+    """Inverse NTT over the last axis via Pallas kernels, limb-chunked."""
+    *batch, L, n = a.shape
+    R = n // _LANE
+    B = int(np.prod(batch)) if batch else 1
+    keys = ("i_twist", "i_twist_sh", "rowstack", "rowstack_sh",
+            "lanestack", "lanestack_sh")
+
+    def one(a_c, t4_c, ninv_c, ninv_sh_c, p_c):
+        args = _Args()
+        args.add("a", a_c.reshape(*batch, a_c.shape[-2], R, _LANE))
+        for k in keys:
+            args.add("t4_" + k, t4_c[k])
+        args.add("p", p_c.reshape(-1, 1))
+        args.add("ninv", ninv_c.reshape(-1, 1))
+        args.add("ninv_sh", ninv_sh_c.reshape(-1, 1))
+        names = tuple(args.names)
+
+        def kernel(*refs):
+            g = _make_getter(names, refs[:-1])
+            refs[-1][...] = _kintt(g("a"), _t4_slice(g, slice(None)),
+                                   g("ninv")[:, :, None],
+                                   g("ninv_sh")[:, :, None],
+                                   g("p")[:, :, None])
+
+        out = _call(kernel, args,
+                    tuple(batch) + (a_c.shape[-2], R, _LANE))
+        return out.reshape(*batch, a_c.shape[-2], n)
+
+    chunks = _limb_chunks(B, L, n)
+    if len(chunks) == 1:
+        return one(a, {k: t4[k] for k in keys}, ninv, ninv_shoup, p)
+    outs = [one(a[..., lo:hi, :], {k: t4[k][lo:hi] for k in keys},
+                ninv[lo:hi], ninv_shoup[lo:hi], p[lo:hi])
+            for lo, hi in chunks]
+    return jnp.concatenate(outs, axis=-2)
 
 
 # ------------------------------------------------------------------ #

@@ -99,3 +99,27 @@ def test_env_dispatch(setup, monkeypatch):
     monkeypatch.setenv("ORION_TPU_FUSED_KS", "1")
     got = np.asarray(keyswitch(c, dl, rk.data, rk.shoup))
     assert np.array_equal(ref, got)
+
+
+def test_pallas_ntt_wrappers_bit_exact(monkeypatch):
+    """Standalone Pallas NTT/iNTT kernels (incl. limb-chunked) match the
+    jnp four-step path bit-exactly."""
+    from orion_tpu.crypto.ntt4 import intt4, ntt4
+
+    ctx = CKKSContext(logn=8, logq=[29, 26, 26, 26, 26, 26],
+                      logp=[29, 29], logscale=26, h=64, seed=1)
+    t4 = {k[3:]: ctx.dev[k] for k in ctx.t4_keys}
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(
+        0, min(ctx.primes), (2, ctx.n_all, ctx.n)).astype(np.uint32))
+    p = ctx.dev["p"]
+    ref = ntt4(a, t4, p)
+    assert np.array_equal(np.asarray(ref),
+                          np.asarray(ks_pallas.pallas_ntt4(a, t4, p)))
+    iref = intt4(ref, t4, ctx.dev["ninv"], ctx.dev["ninv_shoup"], p)
+    assert np.array_equal(np.asarray(iref), np.asarray(
+        ks_pallas.pallas_intt4(ref, t4, ctx.dev["ninv"],
+                               ctx.dev["ninv_shoup"], p)))
+    monkeypatch.setattr(ks_pallas, "_VMEM_BUDGET", 200 * 1024)
+    assert np.array_equal(np.asarray(ref),
+                          np.asarray(ks_pallas.pallas_ntt4(a, t4, p)))
