@@ -33,8 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .modops import add_mod, mul_mod, shoup_mul, sub_mod
 
 _LANE = 128
-# VMEM is 16MB/core; leave headroom for Mosaic temporaries
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM is 16MB/core.  Budgets below are checked against the ESTIMATED
+# working set; Mosaic's real scoped-stack usage runs ~2x the estimate
+# (per-stage temporaries), so the budget stays at ~1/3 of VMEM —
+# a measured 10MB budget OOM'd at 18.55M scoped stack on a level-6
+# single-shot kernel.
+_VMEM_BUDGET = 5 * 1024 * 1024
 
 # tables the kernels consume (stage stacks are the Pallas layouts built by
 # ntt4.build_t4_tables: lane/sublane-sliceable, no lane-dim reshapes)
