@@ -331,12 +331,10 @@ class Bootstrapper:
         return Plaintext(placement.buffer(data.astype(np.uint32)),
                          placement.buffer(shoup), level, scale)
 
-    def bootstrap(self, ct: Ciphertext, slots: int | None = None) -> Ciphertext:
-        """Refresh an exhausted ciphertext to the top of the user chain."""
+    # ---------------- pipeline phases (shared by both paths) --------- #
+
+    def _pre(self, ct: Ciphertext) -> Ciphertext:
         ev = self.ev
-        if ct.level < self.scheme.params.base_level:
-            raise ValueError(
-                f"bootstrap input level {ct.level} below the modulus floor")
         if self.D > 1:
             # exact integer prescale to Delta_boot = D*Delta ~ q0/R: residue
             # multiply, no level consumed, no noise added (MessageRatio)
@@ -346,26 +344,80 @@ class Bootstrapper:
             raised = self._subring_trace(raised)
         # free division into the EvalMod band: re-declare the scale as
         # q0*(K+1)*ratio; values become (Delta_boot x + q0 I)/(q0 (K+1))
-        raised = raised.with_(scale=self.pre_scale)
+        return raised.with_(scale=self.pre_scale)
 
-        # CoeffsToSlots: t holds c_a + i c_b (scaled into [-1,1])
-        t = self._apply_chain(raised, self.cts_transforms)
+    def _one_chain(self, ct: Ciphertext, tr) -> Ciphertext:
+        ev = self.ev
+        rots = baby_rotation_cache(ev, ct, set(tr.babies) | {0})
+        return ev.rescale(eval_transform_scan(ev, tr, ct, rots))
+
+    def _extract(self, t: Ciphertext):
+        ev = self.ev
         t_conj = ev.conjugate(t)
         # u/v extraction: exact-integer-scale constants shed the CtS pt
         # boost (scale W*q_ext/m -> W), consuming the planned level
-        u = ev.mul_plain(ev.add(t, t_conj), self.one_u_pt)   # 2*Re (x0.5 folded)
+        u = ev.mul_plain(ev.add(t, t_conj), self.one_u_pt)  # 2*Re (x.5 in)
         v = ev.mul_plain(ev.sub(t, t_conj), self.minus_i_pt)  # Im part
+        return u, v
 
-        # EvalMod on both halves at the Delta^2 working scale; align to the
-        # planned output level (free drops absorb the depth-bound slack)
-        u = evaluate_polynomial(ev, u, self.mod_poly, hi_scale=True)
-        v = evaluate_polynomial(ev, v, self.mod_poly, hi_scale=True)
+    def _evalmod(self, x: Ciphertext) -> Ciphertext:
+        return evaluate_polynomial(self.ev, x, self.mod_poly, hi_scale=True)
+
+    def _recombine(self, u: Ciphertext, v: Ciphertext) -> Ciphertext:
+        ev = self.ev
         v = ev.mod_drop(v, self.lvl_mod_out)
-
-        # recombine a0 = u + i v (beta*ratio already folded into the EvalMod
-        # coefficients, so a0 holds the refreshed coefficients directly);
-        # run StC
+        # a0 = u + i v (beta*ratio already folded into the EvalMod
+        # coefficients, so a0 holds the refreshed coefficients directly)
         iv = ev.mul_plain(v, self.plus_i_pt)
-        a0 = ev.add(ev.mod_drop(u, iv.level), iv)
-        out = self._apply_chain(a0, self.stc_transforms)
-        return out.with_(scale=ct.scale)
+        return ev.add(ev.mod_drop(u, iv.level), iv)
+
+    def _phase_swaps(self):
+        """Every device buffer the circuit touches (pinned resident)."""
+        sw = getattr(self, "_phase_swaps_cache", None)
+        if sw is None:
+            from ..runtime.buffers import (_bootstrapper_swaps,
+                                           _context_swaps)
+            sw = _context_swaps(self.ctx) + _bootstrapper_swaps(self)
+            self._phase_swaps_cache = sw
+        return sw
+
+    def bootstrap(self, ct: Ciphertext, slots: int | None = None) -> Ciphertext:
+        """Refresh an exhausted ciphertext to the top of the user chain.
+
+        With a scheme.phase_runner installed (per-module jit mode), each
+        pipeline phase — ModRaise, every CtS/StC stage, u/v extraction,
+        EvalMod, recombination — compiles as its OWN cached program: one
+        monolithic bootstrap program is too large for compile services
+        (hundreds of MB of HLO), and the 24 Bootstrap modules of a
+        ResNet-20 share these phase programs.
+        """
+        if ct.level < self.scheme.params.base_level:
+            raise ValueError(
+                f"bootstrap input level {ct.level} below the modulus floor")
+        pr = getattr(self.scheme, "phase_runner", None)
+        if pr is None:
+            t = self._pre(ct)
+            for tr in self.cts_transforms:
+                t = self._one_chain(t, tr)
+            u, v = self._extract(t)
+            u = self._evalmod(u)
+            v = self._evalmod(v)
+            a0 = self._recombine(u, v)
+            for tr in self.stc_transforms:
+                a0 = self._one_chain(a0, tr)
+            return a0.with_(scale=ct.scale)
+
+        swaps = self._phase_swaps()
+        tag = ("btp", self.slots)
+        t = pr.run(tag + ("pre",), swaps, self._pre, ct)
+        for i, tr in enumerate(self.cts_transforms):
+            t = pr.run(tag + ("cts", i), swaps,
+                       lambda c, _tr=tr: self._one_chain(c, _tr), t)
+        u, v = pr.run(tag + ("extract",), swaps, self._extract, t)
+        u = pr.run(tag + ("evalmod",), swaps, self._evalmod, u)
+        v = pr.run(tag + ("evalmod",), swaps, self._evalmod, v)
+        a0 = pr.run(tag + ("recombine",), swaps, self._recombine, u, v)
+        for i, tr in enumerate(self.stc_transforms):
+            a0 = pr.run(tag + ("stc", i), swaps,
+                        lambda c, _tr=tr: self._one_chain(c, _tr), a0)
+        return a0.with_(scale=ct.scale)

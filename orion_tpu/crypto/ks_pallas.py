@@ -264,15 +264,38 @@ def _make_getter(names, refs):
     return g
 
 
-def _call(kernel, args: _Args, out_shape):
+# Re-tracing a Pallas kernel at every call site dominates program-build
+# time on deep networks (a bootstrap walks ~40 key-switches).  Each
+# distinct (tag, static metadata, arg shapes) signature gets ONE
+# jax.jit-wrapped pallas_call whose trace jax caches process-wide.
+_PCALL_CACHE: dict = {}
+
+
+def _cached_call(tag, static_key, arrays, make_call):
+    sig = (tag, static_key,
+           tuple((a.shape, str(a.dtype)) for a in arrays),
+           _interpret())
+    fn = _PCALL_CACHE.get(sig)
+    if fn is None:
+        call = make_call()
+        fn = jax.jit(lambda arrs: call(*arrs))
+        _PCALL_CACHE[sig] = fn
+    return fn(list(arrays))
+
+
+def _call(kernel, args: _Args, out_shape, tag="", static_key=()):
     n_in = len(args.arrays)
-    return pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
-        interpret=_interpret(),
-    )(*args.arrays)
+
+    def make():
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint32),
+            interpret=_interpret(),
+        )
+
+    return _cached_call(tag, static_key, args.arrays, make)
 
 
 def ks_supported(dl, trimmed_ksk_bytes: int) -> bool:
@@ -349,7 +372,7 @@ def pallas_ntt4(a, t4, p):
                                   g("p")[:, :, None])
 
         out = _call(kernel, args,
-                    tuple(batch) + (a_c.shape[-2], R, _LANE))
+                    tuple(batch) + (a_c.shape[-2], R, _LANE), tag="ntt")
         return out.reshape(*batch, a_c.shape[-2], n)
 
     chunks = _limb_chunks(B, L, n)
@@ -387,7 +410,7 @@ def pallas_intt4(a, t4, ninv, ninv_shoup, p):
                                    g("p")[:, :, None])
 
         out = _call(kernel, args,
-                    tuple(batch) + (a_c.shape[-2], R, _LANE))
+                    tuple(batch) + (a_c.shape[-2], R, _LANE), tag="intt")
         return out.reshape(*batch, a_c.shape[-2], n)
 
     chunks = _limb_chunks(B, L, n)
@@ -547,17 +570,22 @@ def ks_decompose_pallas_grid(c_ntt, dl):
                         g("dg_srcp")[0], z, tgtp, amax)
         out_ref[0] = _kntt(ext, _t4_slice(g, slice(None)), tgtp)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(dnum,),
-        in_specs=specs,
-        out_specs=pl.BlockSpec((1, n_t, R, _LANE),
-                               lambda d: (d, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((dnum, n_t, R, _LANE), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((nl + amax, R, _LANE), jnp.uint32)],
-        interpret=_interpret(),
-    )(*args.arrays)
+    def make():
+        return pl.pallas_call(
+            kernel,
+            grid=(dnum,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((1, n_t, R, _LANE),
+                                   lambda d: (d, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((dnum, n_t, R, _LANE),
+                                           jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((nl + amax, R, _LANE), jnp.uint32)],
+            interpret=_interpret(),
+        )
+
+    out = _cached_call("dec_grid", (nl, n_sp, dnum, amax), args.arrays,
+                       make)
     return out.reshape(dnum, n_t, n)
 
 
@@ -668,17 +696,21 @@ def ks_finish_pallas_grid(ext, dl, ksk_data, ksk_shoup=None, trimmed=False):
             out_ref[...] = shoup_mul(diff, g("pinv")[:, :, None],
                                      g("pinv_sh")[:, :, None], qp)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(dnum, 2),
-        in_specs=specs,
-        out_specs=pl.BlockSpec((2, nl, R, _LANE),
-                               lambda d, q: (0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, nl, R, _LANE), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((2, n_t, R, _LANE), jnp.uint32)],
-        interpret=_interpret(),
-    )(*args.arrays)
+    def make():
+        return pl.pallas_call(
+            kernel,
+            grid=(dnum, 2),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((2, nl, R, _LANE),
+                                   lambda d, q: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2, nl, R, _LANE), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((2, n_t, R, _LANE), jnp.uint32)],
+            interpret=_interpret(),
+        )
+
+    out = _cached_call("fin_grid", (nl, n_sp, dnum, lean), args.arrays,
+                       make)
     return out.reshape(2, nl, n)
 
 
@@ -700,7 +732,8 @@ def ks_decompose_pallas(c_ntt, dl):
         g = _make_getter(names, refs[:-1])
         refs[-1][...] = _decompose_k(g, nl, n_sp, digits, g("c"))
 
-    out = _call(kernel, args, (len(digits), n_t, R, _LANE))
+    out = _call(kernel, args, (len(digits), n_t, R, _LANE),
+                tag="dec", static_key=(nl, n_sp, digits))
     return out.reshape(len(digits), n_t, n)
 
 
@@ -734,7 +767,8 @@ def ks_finish_pallas(ext, dl, ksk_data, ksk_shoup=None, trimmed=False):
         g = _make_getter(names, refs[:-1])
         refs[-1][...] = _finish_k(g, nl, n_sp, dnum, g("ext"), lean)
 
-    out = _call(kernel, args, (2, nl, R, _LANE))
+    out = _call(kernel, args, (2, nl, R, _LANE),
+                tag="fin", static_key=(nl, n_sp, dnum, lean, trimmed))
     return out.reshape(2, nl, n)
 
 
@@ -771,5 +805,6 @@ def keyswitch_pallas(c_ntt, dl, ksk_data, ksk_shoup=None):
         ext = _decompose_k(g, nl, n_sp, digits, g("c"))
         refs[-1][...] = _finish_k(g, nl, n_sp, dnum, ext, lean)
 
-    out = _call(kernel, args, (2, nl, R, _LANE))
+    out = _call(kernel, args, (2, nl, R, _LANE),
+                tag="ksw", static_key=(nl, n_sp, digits, lean))
     return out.reshape(2, nl, n)

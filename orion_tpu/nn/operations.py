@@ -41,7 +41,13 @@ class Bootstrap(Module):
     tensor shape and postscale match shares ONE compiled XLA program
     (runtime/jit.py program signatures) — on a ResNet that collapses ~24
     bootstrap compilations into a handful.
+
+    `phased`: under per-module jit the circuit does NOT compile as one
+    program (too large for compile services); the bootstrapper jits each
+    pipeline phase separately (crypto/bootstrap.py + PhaseRunner).
     """
+
+    phased = True
 
     def __init__(self, input_min, input_max, input_level):
         super().__init__()

@@ -109,6 +109,11 @@ def _bootstrapper_swaps(btp):
     # conjugation key (the one original galois key the circuit needs)
     out.extend(_ksk_swaps(btp.scheme.keys.galois_key(
         btp.ctx.galois_element_conj())))
+    # the circuit is SHARED by every Bootstrap module (24 on ResNet-20):
+    # keep its ~GBs device-resident instead of re-uploading host numpy on
+    # every invocation through the transfer path
+    for sw in out:
+        sw.pin_device = True
     return out
 
 
@@ -153,7 +158,11 @@ def collect_swappables(scheme, module) -> list[Swappable]:
             out.extend(_key_pack_swaps(packs[pk]))
 
     # relinearisation key: any ct-ct multiply (activations, Mult, EvalMod)
-    out.extend(_ksk_swaps(scheme.keys.relin_key))
+    # — shared by every module, so keep it device-resident
+    rl = _ksk_swaps(scheme.keys.relin_key)
+    for sw in rl:
+        sw.pin_device = True
+    out.extend(rl)
 
     # hybrid-embedding output rotations use original galois keys (roll path)
     for i in range(1, getattr(module, "output_rotations", 0) + 1):

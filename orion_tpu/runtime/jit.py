@@ -11,6 +11,9 @@ compile separately); always use this wrapper for device execution.
 
 from __future__ import annotations
 
+import os
+import time
+
 import jax
 
 from ..crypto.ciphertext import Ciphertext
@@ -81,6 +84,12 @@ def make_module_runner(scheme):
     log = os.environ.get("ORION_TPU_JIT_LOG", "") not in ("", "0")
 
     def run(module, args):
+        if getattr(module, "phased", False):
+            # Bootstrap modules: a single program spanning the whole
+            # circuit is too large to compile; the bootstrapper jits its
+            # pipeline phases itself (PhaseRunner), and the module's small
+            # pre/post plaintext ops run as cached eager programs
+            return module.forward(*args)
         spec = []
         flat = []
         for a in args:
@@ -92,7 +101,17 @@ def make_module_runner(scheme):
             else:
                 spec.append(("static", a))
         if id(module) not in swaps_by_module:
-            swaps_by_module[id(module)] = collect_swappables(scheme, module)
+            swaps = collect_swappables(scheme, module)
+            # shared buffers (bootstrapper circuit, relin key, context
+            # tables) are pinned: move them to the device ONCE so stream
+            # mode doesn't re-upload them on every invocation
+            import numpy as _np
+            for sw in swaps:
+                if sw.pin_device:
+                    v = sw.getter()
+                    if isinstance(v, _np.ndarray):
+                        sw.setter(jax.device_put(v))
+            swaps_by_module[id(module)] = swaps
         swaps = swaps_by_module[id(module)]
         sig_fn = getattr(module, "program_signature", None)
         if sig_fn is not None:
@@ -158,7 +177,81 @@ def make_module_runner(scheme):
     return run
 
 
+class PhaseRunner:
+    """Jit sub-module pipeline phases (the bootstrap circuit) as separate
+    cached programs.
+
+    A whole bootstrap traced into one program is too large for compile
+    services (it walks ~40 key-switches across the full chain); phases —
+    ModRaise, each CtS/StC stage, extraction, EvalMod, recombination —
+    compile independently and are shared by every Bootstrap module with
+    the same circuit.  Buffers ride as call arguments via the same
+    swap-during-trace mechanism as the module runner; pinned buffers are
+    promoted to device residency once (they are shared across all 24
+    bootstraps of a ResNet-20, so re-uploading host numpy per call would
+    dominate).
+    """
+
+    def __init__(self, scheme):
+        self.scheme = scheme
+        self.cache = {}
+
+    def run(self, tag, swaps, fn, *cts):
+        import numpy as _np
+
+        from ..crypto.ciphertext import Ciphertext
+
+        for sw in swaps:
+            v = sw.getter()
+            if sw.pin_device and isinstance(v, _np.ndarray):
+                sw.setter(jax.device_put(v))
+        bufsig = tuple(
+            (getattr(v, "shape", None), str(getattr(v, "dtype", "")))
+            for v in (sw.getter() for sw in swaps))
+        meta_in = tuple((c.level, c.scale, c.data.shape) for c in cts)
+        key = (tag, meta_in, bufsig)
+        if key not in self.cache:
+            side = {}
+
+            def wrapped(datas, bufs, _fn=fn, _side=side, _swaps=swaps,
+                        _meta=tuple((c.level, c.scale) for c in cts)):
+                for sw, v in zip(_swaps, bufs):
+                    sw.save_and_set(v)
+                try:
+                    ins = [Ciphertext(d, lv, sc)
+                           for d, (lv, sc) in zip(datas, _meta)]
+                    out = _fn(*ins)
+                finally:
+                    for sw in _swaps:
+                        sw.restore()
+                outs = out if isinstance(out, tuple) else (out,)
+                _side["meta"] = tuple((o.level, o.scale) for o in outs)
+                _side["single"] = not isinstance(out, tuple)
+                return [o.data for o in outs]
+
+            self.cache[key] = (jax.jit(wrapped), side)
+            if os.environ.get("ORION_TPU_JIT_LOG", "") not in ("", "0"):
+                print(f"[jit] NEW phase program {tag} "
+                      f"({len(self.cache)} phases so far)", flush=True)
+                t0 = time.time()
+                outs = self.cache[key][0](
+                    [c.data for c in cts], [sw.getter() for sw in swaps])
+                jax.block_until_ready(outs)
+                print(f"[jit] phase {tag}: compile+run "
+                      f"{time.time()-t0:.1f}s", flush=True)
+                s = self.cache[key][1]
+                res = [Ciphertext(d, lv, sc)
+                       for d, (lv, sc) in zip(outs, s["meta"])]
+                return res[0] if s["single"] else tuple(res)
+        jf, side = self.cache[key]
+        outs = jf([c.data for c in cts], [sw.getter() for sw in swaps])
+        res = [Ciphertext(d, lv, sc)
+               for d, (lv, sc) in zip(outs, side["meta"])]
+        return res[0] if side["single"] else tuple(res)
+
+
 def enable_module_jit(scheme):
     """Switch the scheme's encrypted forwards to per-module jit."""
     scheme.module_runner = make_module_runner(scheme)
+    scheme.phase_runner = PhaseRunner(scheme)
     return scheme.module_runner
