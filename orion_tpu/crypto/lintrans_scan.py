@@ -246,6 +246,10 @@ def eval_transform_scan(ev: Evaluator, tr: ScanTransform, ct: Ciphertext,
     rots_cache maps baby amount -> uint32 (2, L, N); amount 0 is the ct.
     Returns the UN-rescaled accumulated ciphertext at scale Delta*q_level.
     """
+    if ct.level > tr.level:
+        raise ValueError(
+            f"transform compiled at level {tr.level} fed a level-{ct.level} "
+            f"ciphertext; align with mod_drop first")
     dl = dev_level(ev.ctx, ct.level)
     qp = dl.q_p[:, None]
     nl = ct.level + 1
@@ -325,6 +329,15 @@ def eval_transform_blocked_scan(ev: Evaluator, grid: dict,
     """Blocked transform with the scan path (lt_evaluator semantics:
     accumulate column blocks, ONE rescale per output row)."""
     num_cols = len(cts)
+    # align inputs to the compiled transform level (the reference's
+    # backend inserts ModDrops before every op, `heongpu/bindings.py`
+    # level/depth alignment); a bootstrap-refreshed ciphertext can arrive
+    # above the solver-assigned layer level and the drop is free
+    col_level = {}
+    for (i, j), tr in grid.items():
+        col_level[j] = min(col_level.get(j, tr.level), tr.level)
+    cts = [ev.mod_drop(c, col_level[j]) if c.level > col_level.get(j, c.level)
+           else c for j, c in enumerate(cts)]
     babies_per_col = {j: set() for j in range(num_cols)}
     for (i, j), tr in grid.items():
         babies_per_col[j] |= set(tr.babies) | {0}
