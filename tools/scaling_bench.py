@@ -151,6 +151,27 @@ def main():
         return {m: times[1] / (m * t) if m > 1 else 1.0
                 for m, t in times.items()}
 
+    # Analytical ICI projection for a real v5e slice: the virtual CPU mesh
+    # shares one set of physical cores across all "devices", so measured
+    # strong-scaling there under-reports by construction (the M=1 run is
+    # already multi-threaded).  Project instead from measured single-chip
+    # time + collective bytes over public v5e ICI bandwidth (~186 GB/s
+    # per chip per direction aggregate on the 2D torus, 1.6 Tbps).
+    n = 1 << args.logn
+    nl, n_sp, dnum = 6, 2, 3          # bench_limb's chain
+    n_t = nl + n_sp
+    word = 4
+    ici_bw = 186e9
+    t1 = limb_t.get(1, 0.0)
+    proj = {}
+    for m in (2, 4, 8):
+        # digit all-gather: each chip receives (m-1)/m of dnum*n_t rows;
+        # ModDown psum (reduce): ~same bytes again
+        coll_bytes = 2 * dnum * n_t * n * word * (m - 1) / m
+        t_comm = coll_bytes / ici_bw
+        t_comp = t1 / m
+        proj[str(m)] = round(t_comp / (t_comp + t_comm), 3) if t1 else None
+
     report = {
         "platform": jax.devices()[0].platform,
         "n_devices": nd,
@@ -161,8 +182,15 @@ def main():
         "limb_keyswitch_s": {str(k): v for k, v in limb_t.items()},
         "limb_efficiency": {str(k): round(v, 3)
                             for k, v in eff(limb_t).items()},
-        "note": ("CPU virtual mesh measures partitioning/overhead "
-                 "efficiency of the SPMD design, not ICI bandwidth"),
+        "limb_efficiency_projected_ici": proj,
+        "note": ("CPU virtual mesh shares physical cores across devices, "
+                 "so measured strong-scaling under-reports by construction "
+                 "(M=1 already uses all cores); "
+                 "limb_efficiency_projected_ici combines measured 1-chip "
+                 "key-switch time with analytical collective bytes over "
+                 "v5e ICI. dp (batch) parallelism has no per-op "
+                 "collectives, so its real-slice efficiency is ~1.0 by "
+                 "construction."),
     }
     out = Path(__file__).parent.parent / "MULTICHIP_scaling.json"
     out.write_text(json.dumps(report, indent=1))
