@@ -226,10 +226,20 @@ class _Sign(Module):
     def forward(self, x):
         if self.he_mode:
             last = self.acts[-1]
-            l1 = x.level()
-            l2 = last.level - last.depth
-            output_level = min(l1, l2)
-            ql = self.scheme.encoder.get_moduli_chain()[output_level]
+            # The pinned modulus must be the prime the FINAL x*sign(x)
+            # rescale divides by.  Under plan-authoritative level alignment
+            # (Module.__call__), that rescale happens at ReLU.mult2's
+            # solver-assigned level — which may sit BELOW the chain's
+            # natural output level (the solver may spend extra drops), and
+            # which min(entry, natural) gets wrong whenever a bootstrap
+            # lands mid-chain.  ReLU passes the planned level in; the
+            # min() fallback covers uncompiled (plan-free) usage, matching
+            # the reference's runtime-level rule
+            # (`orion/nn/activation.py:242-255`).
+            pin = getattr(self, "pin_level", None)
+            if pin is None:
+                pin = min(x.level(), last.level - last.depth)
+            ql = self.scheme.encoder.get_moduli_chain()[pin]
             last.set_output_scale(float(ql))
         for act in self.acts:
             x = act(x)
@@ -260,6 +270,9 @@ class ReLU(Module):
     @timer
     def forward(self, x):
         x = self.mult1(x, self.prescale)
+        # sign's exact-rescale pin = the level mult2's rescale divides at
+        # (the solver-assigned input level of mult2; None when uncompiled)
+        self.sign.pin_level = self.mult2.level
         x = self.mult2(x, self.sign(x))
         x = x * self.postscale  # integer mult, no level consumed
         return x

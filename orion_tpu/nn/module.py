@@ -113,6 +113,24 @@ class Module(ABC):
         tr = active_tracer()
         if tr is not None and self.is_leaf():
             return tr.run_leaf(self, args)
+        if self.he_mode and self.level is not None:
+            # Align ciphertext inputs DOWN to the solver-assigned input
+            # level: a bootstrap can refresh a ciphertext above the level
+            # the compile-time plan assumed for the layers that follow, and
+            # every compile-time scale choice (plaintext encodings at q_l,
+            # _Sign's exact-rescale pin) is made against the PLANNED level
+            # trajectory.  Dropping here makes runtime trajectory == plan by
+            # construction — the TPU analog of the reference backend's
+            # ModDrop insertion before every op
+            # (`orion/backend/heongpu/bindings.py:1491-1553`).  The drop is
+            # eager metadata (a limb slice), so shared jit programs also see
+            # identical level signatures.
+            args = tuple(
+                a.mod_drop(self.level)
+                if hasattr(a, "mod_drop") and hasattr(a, "level")
+                and callable(getattr(a, "level", None))
+                and a.level() > self.level else a
+                for a in args)
         runner = (getattr(self.scheme, "module_runner", None)
                   if self.he_mode and self.scheme is not None else None)
         if runner is not None and self.is_leaf() and \

@@ -47,6 +47,8 @@ def fit_lt(logn=12):
     from orion_tpu.crypto import CKKSContext, Encoder, Evaluator, KeyChest
     from orion_tpu.crypto import lintrans_scan
     from orion_tpu.crypto.ciphertext import Ciphertext
+    from orion_tpu.runtime.buffers import (_context_swaps, _key_pack_swaps,
+                                           _scan_transform_swaps)
 
     ctx = CKKSContext(logn=logn, logq=[29] + [26] * 11, logp=[29, 29],
                       logscale=26, h=192, seed=7)
@@ -62,19 +64,39 @@ def fit_lt(logn=12):
             diag_idx = sorted(rng.choice(slots, size=ndiags, replace=False))
             diags = {int(d): rng.uniform(-0.3, 0.3, slots) for d in diag_idx}
             tr = lintrans_scan.compile_transform_scan(enc, diags, level, slots)
-            lintrans_scan.build_key_pack(
-                ev, set(tr.babies) | set(a for a in tr.giants if a))
+            # pre-build the level-trimmed packs eval will request, then
+            # pass every big buffer as a jit ARGUMENT (swap-during-trace,
+            # runtime/buffers.py) — baked-constant programs exceed the
+            # remote compiler's request-size limit (HTTP 413)
+            babies = sorted(a for a in set(tr.babies) if a)
+            giants = sorted(a for a in set(tr.giants) if a)
+            swaps = _context_swaps(ctx) + _scan_transform_swaps(tr)
+            for amounts in (babies, giants):
+                if amounts:
+                    pk = lintrans_scan.build_key_pack(ev, amounts, level=level)
+                    swaps.extend(_key_pack_swaps(pk))
             v = rng.uniform(-1, 1, slots)
             ptv, s = enc.encode(v, level=level)
             ct = Ciphertext(jnp.asarray(
                 keys.encrypt_rns(ptv).astype(np.uint32)), level, s)
 
-            @jax.jit
-            def run(data, _tr=tr, _lv=level, _s=s):
-                c = Ciphertext(data, _lv, _s)
-                rots = lintrans_scan.baby_rotation_cache(
-                    ev, c, set(_tr.babies) | {0})
-                return lintrans_scan.eval_transform_scan(ev, _tr, c, rots).data
+            def fn(data, bufs, _tr=tr, _lv=level, _s=s, _swaps=swaps):
+                for sw, b in zip(_swaps, bufs):
+                    sw.save_and_set(b)
+                try:
+                    c = Ciphertext(data, _lv, _s)
+                    rots = lintrans_scan.baby_rotation_cache(
+                        ev, c, set(_tr.babies) | {0})
+                    return lintrans_scan.eval_transform_scan(
+                        ev, _tr, c, rots).data
+                finally:
+                    for sw in _swaps:
+                        sw.restore()
+
+            jf = jax.jit(fn)
+
+            def run(data, _jf=jf, _swaps=swaps):
+                return _jf(data, [sw.getter() for sw in _swaps])
 
             t = timed(run, ct.data)
             pts.append((ndiags, level, t))
@@ -106,14 +128,21 @@ def fit_boot(logn=12):
             "orion": {"margin": 2, "backend": "tpu", "fuse_modules": True},
         }
         sch = Scheme().init_scheme(cfg)
+        # phased path: one monolithic bootstrap program exceeds the remote
+        # compiler's size limit; PhaseRunner jits each pipeline phase as
+        # its own cached program — the production configuration
+        from orion_tpu.runtime.jit import PhaseRunner
+        sch.phase_runner = PhaseRunner(sch)
         btp = sch.bootstrapper.generate_bootstrapper(sch.ctx.slots)
         rng = np.random.default_rng(1)
         x = rng.uniform(-0.125, 0.125, sch.ctx.slots)
         pt = sch.encoder.encode(x, level=sch.params.base_level)
         ct = sch.encryptor.encrypt(pt).cts[0]
-        run = jax.jit(lambda c, _b=btp: _b.bootstrap(c).data)
-        t = timed(lambda d, _r=run, _c=ct: _r(_c.with_(data=d)), ct.data,
-                  reps=4)
+
+        def run(d, _b=btp, _c=ct):
+            return _b.bootstrap(_c.with_(data=d)).data
+
+        t = timed(run, ct.data, reps=4)
         pts.append((l_eff, t))
         print(f"  boot l_eff={l_eff}: {t*1e3:.1f} ms")
     # fit t = a*exp(b*l) + c: pin c as 80% of the smallest measurement,
