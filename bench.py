@@ -140,6 +140,47 @@ def microbench():
 
     t_ntt = timed(ntt_chain, ct.data)
 
+    # --- measured VPU integer peak: a pure chained Shoup-multiply kernel
+    # (1 mulhi + 2 mullo + compare/select per element) is the exact op mix
+    # the crypto kernels are made of; its throughput is the DEMONSTRATED
+    # achievable ceiling for this workload on the VPU ---
+    from orion_tpu.crypto.modops import shoup_mul
+
+    big = jnp.broadcast_to(ct.data[1], (n_t, n)).astype(jnp.uint32)
+    wv = jnp.asarray(
+        rng.integers(1, 1 << 26, (n_t, 1)).astype(np.uint32))
+    wsh = jnp.asarray(
+        ((wv.astype(np.uint64) << 32) //
+         np.asarray(dl.t_p)[:, None].astype(np.uint64)).astype(np.uint32))
+    tp = dl.t_p[:, None]
+
+    @jax.jit
+    def shoup_chain(x):
+        def body(c, _):
+            return shoup_mul(c, wv, wsh, tp), None
+        out, _ = jax.lax.scan(body, x, None, length=reps)
+        return out
+
+    t_shoup = timed(shoup_chain, big)
+    shoup_per_s_peak = n_t * n / t_shoup           # shoup-muls/s achieved
+
+    # --- analytic shoup-mul count per hybrid key-switch (this level) ---
+    lgn = int(np.log2(n))
+    alphas = [dg.src_hi - dg.src_lo for dg in dl.digits]
+    n_sp = int(dl.s_p.shape[0])
+    btf = lgn / 2                                   # butterfly muls/elem
+    muls = nl * n * (btf + 1)                       # decompose iNTT (+ninv)
+    for a in alphas:
+        muls += a * n + a * n_t * n + n_t * n       # FBC qhat/conv/vterm
+        muls += n_t * n * btf                       # per-digit NTT
+    muls += dnum * 2 * n_t * n                      # KSK inner product
+    muls += 2 * (n_sp * n * (btf + 1)               # ModDown iNTT
+                 + n_sp * n + n_sp * nl * n + nl * n  # ModDown FBC
+                 + nl * n * btf                     # ModDown NTT
+                 + nl * n)                          # ModDown pinv mul
+    ks_shoup_muls = float(muls)
+    vpu_frac = (ks_shoup_muls / t_ks) / shoup_per_s_peak
+
     # --- analytical roofline: bytes touched per op (uint32 words) ---
     word = 4
     ksk_bytes = dnum * 2 * n_t * n * word          # key read dominates
@@ -162,8 +203,65 @@ def microbench():
         "ct_mult_hbm_frac": (mult_bytes / t_mult) / hbm_peak,
         "ct_mult_batched_hbm_frac": (mult_bytes / t_mult_b) / hbm_peak,
         "ntt_hbm_frac": (ntt_bytes / t_ntt) / hbm_peak,
+        # VPU integer roofline: key-switch shoup-mul rate vs the measured
+        # pure-shoup-kernel ceiling (VERDICT r3 weak #1: make "VPU-bound"
+        # a number)
+        "vpu_shoup_mul_per_s_peak": shoup_per_s_peak,
+        "keyswitch_shoup_muls": ks_shoup_muls,
+        "keyswitch_vpu_frac": vpu_frac,
         "params": {"logn": 13, "level": level, "dnum": dnum, "n_t": n_t},
     }
+
+
+def microbench_deep(level=17):
+    """Depth-regime key-switch (LogN 13, ResNet/bootstrap levels): the
+    STATUS r3 claims (2.90 ms fused vs 3.03 ms jnp, trace seconds)
+    captured as artifacts (VERDICT r3 weak #6)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from orion_tpu.crypto import CKKSContext, Encoder, KeyChest
+    from orion_tpu.crypto.ciphertext import Ciphertext
+    from orion_tpu.crypto.keyswitch import dev_level, ks_decompose, ks_finish
+
+    ctx = CKKSContext(logn=13, logq=[29] + [26] * level, logp=[29, 29],
+                      logscale=26, h=8192, seed=6)
+    enc = Encoder(ctx)
+    keys = KeyChest(ctx)
+    dl = dev_level(ctx, level)
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, ctx.slots)
+    pt, s = enc.encode(x, level=level)
+    ct = Ciphertext(jnp.asarray(keys.encrypt_rns(pt).astype(np.uint32)),
+                    level, s)
+    rk = keys.relin_key
+    reps = 10
+
+    out = {"level": level}
+    for tag, env in (("fused", None), ("jnp", "0")):
+        if env is not None:
+            os.environ["ORION_TPU_FUSED_KS"] = env
+
+        def fn(c1):
+            def body(c, _):
+                o = ks_finish(ks_decompose(c, dl), dl, rk.data, rk.shoup)
+                return o[1], None
+            o, _ = jax.lax.scan(body, c1, None, length=reps)
+            return o
+
+        t0 = time.time()
+        jf = jax.jit(fn)
+        lowered = jf.lower(ct.data[1])
+        out[f"keyswitch_deep_trace_s_{tag}"] = time.time() - t0
+        o = jf(ct.data[1])
+        jax.block_until_ready(o)
+        t0 = time.time()
+        o = jf(ct.data[1])
+        jax.block_until_ready(o)
+        out[f"keyswitch_deep_ms_{tag}"] = (time.time() - t0) / reps * 1e3
+        if env is not None:
+            del os.environ["ORION_TPU_FUSED_KS"]
+    return out
 
 
 def main():
@@ -214,14 +312,41 @@ def main():
     dist = mae(out_clear, out_fhe[: out_clear.size])
     assert dist < 0.005, f"accuracy regression: MAE={dist}"
 
+    # --- batched serving: B queries through ONE vmapped program
+    # (VERDICT r3 item 5: exploit the 7x batched-op advantage) ---
+    from orion_tpu.runtime.jit import make_batched_forward
+    B = 8
+    cts = [orion.encrypt(orion.encode(inp, input_level)) for _ in range(B)]
+    batched = make_batched_forward(net, scheme)
+    outs = batched(cts)                       # compile + warm
+    jax.block_until_ready(outs[0].cts[0].data)
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        outs = batched(cts)
+        jax.block_until_ready(outs[0].cts[0].data)
+        times.append(time.time() - t0)
+    t_batch = float(np.median(times))
+    out_b = np.asarray(outs[0].decrypt().decode()).reshape(-1)
+    dist_b = mae(out_clear, out_b[: out_clear.size])
+    assert dist_b < 0.005, f"batched accuracy regression: MAE={dist_b}"
+
     micro = microbench()
+    deep = microbench_deep()
 
     print(json.dumps({
         "metric": "mlp_fhe_forward_latency",
         "value": steady,
         "unit": "s",
         "vs_baseline": model_s / steady,
+        "serving": {
+            "serial_inf_per_s": 1.0 / steady,
+            "batched_inf_per_s": B / t_batch,
+            "batch": B,
+            "batched_speedup": (B / t_batch) * steady,
+        },
         "micro": micro,
+        "deep": deep,
     }))
 
 

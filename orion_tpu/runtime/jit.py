@@ -54,6 +54,63 @@ def make_jitted_forward(net, scheme):
     return run
 
 
+def make_batched_forward(net, scheme):
+    """Serve a BATCH of encrypted queries as ONE vmapped XLA program.
+
+    The per-op microbench shows the VPU runs ~7x more ct-ct mults/s when
+    ciphertexts are stacked on a leading axis (wide arrays amortise
+    per-op overhead and fill the 8x128 vector lanes); this wrapper is the
+    serving-path integration: B queries' ciphertext data is stacked on a
+    new leading axis and the whole network forward is `jax.vmap`ped over
+    it, so every kernel in the circuit — NTT stages, key-switch inner
+    products, diagonal scans — sees the batch as one wide operation.
+
+    All queries must share the compiled network's input level/scale
+    (always true for a served model).  Returns
+    ``run(list[CipherTensor]) -> list[CipherTensor]``.
+
+    The reference has no counterpart (its evaluator dispatches one
+    ciphertext per FFI call, `orion/backend/lattigo/evaluator.go:49-317`);
+    this is MXU/VPU-era batching applied to FHE serving.
+    """
+    meta = {}
+
+    def one(datas, levels, scales, shape, on_shape):
+        cts = [Ciphertext(d, lv, sc)
+               for d, lv, sc in zip(datas, levels, scales)]
+        out = net(CipherTensor(scheme, cts, shape, on_shape))
+        meta["out"] = ([ct.level for ct in out.cts],
+                       [ct.scale for ct in out.cts],
+                       out.shape, out.on_shape)
+        return [ct.data for ct in out.cts]
+
+    import functools
+
+    @functools.partial(
+        jax.jit, static_argnames=("levels", "scales", "shape", "on_shape"))
+    def batched(stacked, levels, scales, shape, on_shape):
+        return jax.vmap(
+            lambda ds: one(ds, levels, scales, shape, on_shape))(stacked)
+
+    import jax.numpy as jnp
+
+    def run(ctensors):
+        t0 = ctensors[0]
+        levels = tuple(ct.level for ct in t0.cts)
+        scales = tuple(ct.scale for ct in t0.cts)
+        stacked = [jnp.stack([t.cts[i].data for t in ctensors])
+                   for i in range(len(t0.cts))]
+        outs = batched(stacked, levels, scales,
+                       tuple(t0.shape), tuple(t0.on_shape))
+        lv, sc, shape, on_shape = meta["out"]
+        return [CipherTensor(
+            scheme,
+            [Ciphertext(o[b], l, s) for o, l, s in zip(outs, lv, sc)],
+            shape, on_shape) for b in range(len(ctensors))]
+
+    return run
+
+
 def make_module_runner(scheme):
     """Per-leaf-module jit: each layer compiles to its own cached XLA
     program keyed by (program signature, ciphertext signature).
