@@ -20,9 +20,10 @@ which ModDown's division by P absorbs (standard approximate-FBC argument).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, fields
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,7 +84,7 @@ class DevLevel:
     qlast_inv: jnp.ndarray
     qlast_inv_shoup: jnp.ndarray
     qlast_half: jnp.ndarray        # scalar uint32 (q_l+1)//2
-    ksk_rows: list[int]            # global prime rows used by this level
+    ksk_rows: tuple                # global prime rows used by this level
     # conjugate-invariant ring: orbit index maps (None on the standard ring)
     ci_keep: jnp.ndarray | None = None
     ci_src: jnp.ndarray | None = None
@@ -93,6 +94,25 @@ class DevLevel:
     q_t4: dict | None = None
     t_t4: dict | None = None
     s_t4: dict | None = None
+
+
+# Registered as pytrees so the key-switch entry points can be jax.jit'ed
+# with the level tables as ARGUMENTS: each (shape-signature, level
+# structure) then traces ONCE process-wide instead of re-tracing its NTT
+# chains at every call site — tracing dominated deep-network program
+# builds (580k pjit dispatches for a tiny bootstrapped net before this).
+jax.tree_util.register_dataclass(
+    DevDigit,
+    data_fields=[f.name for f in fields(DevDigit)
+                 if f.name not in ("src_lo", "src_hi")],
+    meta_fields=["src_lo", "src_hi"])
+
+_DEVLEVEL_META = ("level", "ksk_rows", "ring_n")
+jax.tree_util.register_dataclass(
+    DevLevel,
+    data_fields=[f.name for f in fields(DevLevel)
+                 if f.name not in _DEVLEVEL_META],
+    meta_fields=list(_DEVLEVEL_META))
 
 
 def _dev_digit(dt: DigitTables, ctx: CKKSContext) -> DevDigit:
@@ -182,7 +202,7 @@ def _build_dev_level(ctx: CKKSContext, level: int,
         qlast_inv=jnp.asarray(lt.qlast_inv[:, None]),
         qlast_inv_shoup=jnp.asarray(lt.qlast_inv_shoup[:, None]),
         qlast_half=jnp.uint32((ctx.primes[level] + 1) // 2),
-        ksk_rows=t_rows,
+        ksk_rows=tuple(t_rows),
         ci_keep=d.get("ci_keep"),
         ci_src=d.get("ci_src"),
         ring_n=ctx.n,
@@ -287,16 +307,9 @@ def _ksk_bytes(dl: DevLevel, lean: bool) -> int:
     return len(dl.digits) * 2 * n_t * dl.ring_n * 4 * (1 if lean else 2)
 
 
-def ks_decompose(c_ntt, dl: DevLevel):
-    """Hoistable half of a key-switch: digit-decompose c and extend every
-    digit to the full basis.  Returns (dnum, n_t, N) in NTT domain.
-
-    Automorphisms commute with decomposition (they are coefficient
-    permutations-with-signs, and FBC is coefficient-wise), so one
-    decomposition serves every rotation of the same ciphertext — the
-    hoisting trick behind fast BSGS (Lattigo parity).
-    """
-    if _fused_enabled():
+@partial(jax.jit, static_argnames=("fused",))
+def _ks_decompose_jit(c_ntt, dl: DevLevel, *, fused):
+    if fused:
         from . import ks_pallas as kp
         if kp.ks_supported(dl, 0):
             return kp.ks_decompose_pallas(c_ntt, dl)
@@ -313,19 +326,27 @@ def ks_decompose(c_ntt, dl: DevLevel):
     return jnp.stack(exts)
 
 
-def ks_finish(ext, dl: DevLevel, ksk_data, ksk_shoup=None, trimmed=False):
-    """Inner-product the decomposed digits with a KSK and ModDown.
+def ks_decompose(c_ntt, dl: DevLevel):
+    """Hoistable half of a key-switch: digit-decompose c and extend every
+    digit to the full basis.  Returns (dnum, n_t, N) in NTT domain.
 
-    ext: (dnum, n_t, N); ksk arrays: (dnum_full, 2, n_all, N), or — with
-    trimmed=True — already sliced to this level's digits and prime rows
-    (dnum, 2, n_t, N), the level-aware KeyPack layout that keeps low-level
-    rotation keys small in HBM.
-    With ksk_shoup=None (lean-key mode) the product uses a Montgomery lift
-    instead of precomputed Shoup companions — ~2.5x more multiplies in the
-    inner product (a small share of a key-switch) for HALF the key HBM.
-    Returns (2, level+1, N) in NTT domain.
+    Automorphisms commute with decomposition (they are coefficient
+    permutations-with-signs, and FBC is coefficient-wise), so one
+    decomposition serves every rotation of the same ciphertext — the
+    hoisting trick behind fast BSGS (Lattigo parity).
+
+    Jitted with the level tables as pytree arguments: one trace per
+    (shape, level) signature process-wide.  The fused-kernel mode is a
+    STATIC argument so flipping ORION_TPU_FUSED_KS cannot hit a stale
+    cached trace.
     """
-    if _fused_enabled():
+    return _ks_decompose_jit(c_ntt, dl, fused=_fused_enabled())
+
+
+@partial(jax.jit, static_argnames=("trimmed", "fused"))
+def _ks_finish_jit(ext, dl: DevLevel, ksk_data, ksk_shoup, *,
+                   trimmed, fused):
+    if fused:
         from . import ks_pallas as kp
         lean = ksk_shoup is None
         if kp.ks_supported(dl, _ksk_bytes(dl, lean)):
@@ -363,6 +384,23 @@ def ks_finish(ext, dl: DevLevel, ksk_data, ksk_shoup=None, trimmed=False):
     return jnp.stack([out0, out1])
 
 
+def ks_finish(ext, dl: DevLevel, ksk_data, ksk_shoup=None, trimmed=False):
+    """Inner-product the decomposed digits with a KSK and ModDown.
+
+    ext: (dnum, n_t, N); ksk arrays: (dnum_full, 2, n_all, N), or — with
+    trimmed=True — already sliced to this level's digits and prime rows
+    (dnum, 2, n_t, N), the level-aware KeyPack layout that keeps low-level
+    rotation keys small in HBM.
+    With ksk_shoup=None (lean-key mode) the product uses a Montgomery lift
+    instead of precomputed Shoup companions — ~2.5x more multiplies in the
+    inner product (a small share of a key-switch) for HALF the key HBM.
+    Returns (2, level+1, N) in NTT domain.  Jitted per signature (see
+    ks_decompose).
+    """
+    return _ks_finish_jit(ext, dl, ksk_data, ksk_shoup,
+                          trimmed=trimmed, fused=_fused_enabled())
+
+
 def keyswitch_lean(c_ntt, dl: DevLevel, ksk_data):
     return ks_finish(ks_decompose(c_ntt, dl), dl, ksk_data, None)
 
@@ -394,10 +432,12 @@ def mod_down(x, dl: DevLevel):
 #  Rescale                                                           #
 # ------------------------------------------------------------------ #
 
+@jax.jit
 def rescale_poly(c, dl: DevLevel):
     """Drop the last limb of c (..., level+1, N, NTT) with centered rounding.
 
     Returns (..., level, N).  Caller adjusts level/scale metadata.
+    Jitted per (shape, level) signature — see ks_decompose.
     """
     lvl = dl.level
     last_ntt = c[..., lvl: lvl + 1, :]
