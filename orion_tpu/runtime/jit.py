@@ -139,6 +139,27 @@ def make_module_runner(scheme):
     cache = {}
     swaps_by_module = {}
     log = os.environ.get("ORION_TPU_JIT_LOG", "") not in ("", "0")
+    # Steady-state residency policy: in stream mode buffers live in host
+    # numpy and ride each call as jit arguments — correct for bounding
+    # compile-time HBM, but a served model pays a host->device transfer of
+    # every diagonal/KeyPack on EVERY inference.  Promote buffers to
+    # device residency greedily (first-touch order — network order, which
+    # is also reuse order) under an HBM byte budget; whatever exceeds the
+    # budget keeps streaming.  Shared buffers (KeyPacks reused across
+    # layers, bootstrap circuits) promote once — later modules see a
+    # device array and skip.  ORION_TPU_RESIDENT_MB=0 disables.
+    resident_budget = float(os.environ.get(
+        "ORION_TPU_RESIDENT_MB", "4096")) * 1e6
+    resident = {"bytes": 0}
+
+    def _promote(swaps):
+        import numpy as _np
+        for sw in swaps:
+            v = sw.getter()
+            if isinstance(v, _np.ndarray) and \
+                    resident["bytes"] + v.nbytes <= resident_budget:
+                sw.setter(jax.device_put(v))
+                resident["bytes"] += v.nbytes
 
     def run(module, args):
         if getattr(module, "phased", False):
@@ -170,6 +191,8 @@ def make_module_runner(scheme):
                         sw.setter(jax.device_put(v))
             swaps_by_module[id(module)] = swaps
         swaps = swaps_by_module[id(module)]
+        if resident_budget > 0:
+            _promote(swaps)
         sig_fn = getattr(module, "program_signature", None)
         if sig_fn is not None:
             bufsig = tuple(
