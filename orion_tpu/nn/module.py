@@ -211,6 +211,14 @@ def timer(func):
     """Debug tracer: per-layer wall time + clear-vs-FHE ranges
     (reference `orion/nn/module.py:67-104`)."""
 
+    def _is_traced(x):
+        # debug decrypt/min/max is only possible on CONCRETE ciphertexts;
+        # under per-module jit the forward runs on tracers and the FHE
+        # range printout must be skipped (the wall time still prints)
+        import jax
+        cts = getattr(x, "cts", None)
+        return bool(cts) and isinstance(cts[0].data, jax.core.Tracer)
+
     @functools.wraps(func)
     def wrapper(self, *args, **kwargs):
         if not self.he_mode or self.scheme is None:
@@ -222,7 +230,7 @@ def timer(func):
             if hasattr(self, "input_min"):
                 print(f"Clear input min/max: {self.input_min:.3f} / "
                       f"{self.input_max:.3f}")
-            if args and hasattr(args[0], "min"):
+            if args and hasattr(args[0], "min") and not _is_traced(args[0]):
                 print(f"FHE input min/max: {args[0].min():.3f} / "
                       f"{args[0].max():.3f}")
             start = time.time()
@@ -232,7 +240,7 @@ def timer(func):
             omax = getattr(self, "output_max", getattr(self, "input_max", 0.0))
             elapsed = time.time() - start
             print(f"Clear output min/max: {omin:.3f} / {omax:.3f}")
-            if hasattr(result, "min"):
+            if hasattr(result, "min") and not _is_traced(result):
                 print(f"FHE output min/max: {result.min():.3f} / "
                       f"{result.max():.3f}")
             print(f"done! [{elapsed:.3f} secs.]")
