@@ -25,6 +25,26 @@ sys.path.insert(0, str(Path(__file__).parent))
 import numpy as np
 
 
+def _ks_shoup_muls(dl, n):
+    """Analytic shoup-multiply count of one hybrid key-switch at dl."""
+    nl = dl.level + 1
+    n_sp = int(dl.s_p.shape[0])
+    n_t = nl + n_sp
+    dnum = len(dl.digits)
+    alphas = [dg.src_hi - dg.src_lo for dg in dl.digits]
+    btf = np.log2(n) / 2                            # butterfly muls/elem
+    muls = nl * n * (btf + 1)                       # decompose iNTT (+ninv)
+    for a in alphas:
+        muls += a * n + a * n_t * n + n_t * n       # FBC qhat/conv/vterm
+        muls += n_t * n * btf                       # per-digit NTT
+    muls += dnum * 2 * n_t * n                      # KSK inner product
+    muls += 2 * (n_sp * n * (btf + 1)               # ModDown iNTT
+                 + n_sp * n + n_sp * nl * n + nl * n  # ModDown FBC
+                 + nl * n * btf                     # ModDown NTT
+                 + nl * n)                          # ModDown pinv mul
+    return float(muls)
+
+
 def microbench():
     """Per-op throughput on the current backend (BASELINE.md north star:
     ct-ct mults/s and key-switches/s per chip, with roofline context).
@@ -146,39 +166,30 @@ def microbench():
     # achievable ceiling for this workload on the VPU ---
     from orion_tpu.crypto.modops import shoup_mul
 
-    big = jnp.broadcast_to(ct.data[1], (n_t, n)).astype(jnp.uint32)
-    wv = jnp.asarray(
-        rng.integers(1, 1 << 26, (n_t, 1)).astype(np.uint32))
+    # the array must be big enough that launch/loop overhead vanishes:
+    # 128 rows x N lanes x 64 chained muls per step
+    rows = 128
+    big = jnp.tile(ct.data[1][:1], (rows, 1)).astype(jnp.uint32)
+    prow = jnp.tile(dl.t_p[:1], (rows,))[:, None]
+    wv = jnp.asarray(rng.integers(1, 1 << 25, (rows, 1)).astype(np.uint32))
     wsh = jnp.asarray(
         ((wv.astype(np.uint64) << 32) //
-         np.asarray(dl.t_p)[:, None].astype(np.uint64)).astype(np.uint32))
-    tp = dl.t_p[:, None]
+         np.asarray(prow).astype(np.uint64)).astype(np.uint32))
+    chain = 64
 
     @jax.jit
     def shoup_chain(x):
         def body(c, _):
-            return shoup_mul(c, wv, wsh, tp), None
+            for _i in range(chain):
+                c = shoup_mul(c, wv, wsh, prow)
+            return c, None
         out, _ = jax.lax.scan(body, x, None, length=reps)
         return out
 
     t_shoup = timed(shoup_chain, big)
-    shoup_per_s_peak = n_t * n / t_shoup           # shoup-muls/s achieved
+    shoup_per_s_peak = chain * rows * n / t_shoup  # shoup-muls/s achieved
 
-    # --- analytic shoup-mul count per hybrid key-switch (this level) ---
-    lgn = int(np.log2(n))
-    alphas = [dg.src_hi - dg.src_lo for dg in dl.digits]
-    n_sp = int(dl.s_p.shape[0])
-    btf = lgn / 2                                   # butterfly muls/elem
-    muls = nl * n * (btf + 1)                       # decompose iNTT (+ninv)
-    for a in alphas:
-        muls += a * n + a * n_t * n + n_t * n       # FBC qhat/conv/vterm
-        muls += n_t * n * btf                       # per-digit NTT
-    muls += dnum * 2 * n_t * n                      # KSK inner product
-    muls += 2 * (n_sp * n * (btf + 1)               # ModDown iNTT
-                 + n_sp * n + n_sp * nl * n + nl * n  # ModDown FBC
-                 + nl * n * btf                     # ModDown NTT
-                 + nl * n)                          # ModDown pinv mul
-    ks_shoup_muls = float(muls)
+    ks_shoup_muls = _ks_shoup_muls(dl, n)
     vpu_frac = (ks_shoup_muls / t_ks) / shoup_per_s_peak
 
     # --- analytical roofline: bytes touched per op (uint32 words) ---
@@ -261,6 +272,9 @@ def microbench_deep(level=17):
         out[f"keyswitch_deep_ms_{tag}"] = (time.time() - t0) / reps * 1e3
         if env is not None:
             del os.environ["ORION_TPU_FUSED_KS"]
+    # depth-regime VPU roofline fraction (vs the peak measured in
+    # microbench — pass it in via out by the caller merging)
+    out["keyswitch_deep_shoup_muls"] = _ks_shoup_muls(dl, ctx.n)
     return out
 
 
@@ -333,6 +347,10 @@ def main():
 
     micro = microbench()
     deep = microbench_deep()
+    deep["keyswitch_deep_vpu_frac"] = (
+        deep["keyswitch_deep_shoup_muls"]
+        / (deep["keyswitch_deep_ms_fused"] * 1e-3)
+        / micro["vpu_shoup_mul_per_s_peak"])
 
     print(json.dumps({
         "metric": "mlp_fhe_forward_latency",
