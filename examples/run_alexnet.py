@@ -1,0 +1,71 @@
+"""AlexNet/CIFAR-10 encrypted-inference pipeline (model parity:
+`/root/reference/orion/models/alexnet.py`; the reference ships no
+encrypted AlexNet example — this extends the zoo's encrypted coverage).
+
+Default: fit + compile (packing, level assignment, bootstrap placement).
+--fhe also runs the encrypted forward (long first compile).
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import orion_tpu as orion
+import orion_tpu.models as models
+from orion_tpu.utils import get_cifar_datasets, mae
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=str(
+        Path(__file__).parent.parent / "configs" / "alexnet.yml"))
+    ap.add_argument("--fhe", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    scheme = orion.init_scheme(args.config)
+    trainloader, testloader = get_cifar_datasets(batch_size=1)
+    net = models.AlexNet()
+
+    inp, _ = next(iter(testloader))
+    net.eval()
+    out_clear = net(inp)
+
+    orion.fit(net, trainloader)
+    t0 = time.time()
+    input_level = orion.compile(net)
+    print(f"compile done in {time.time()-t0:.1f}s; input_level={input_level}")
+
+    if not args.fhe:
+        return
+
+    ct = orion.encrypt(orion.encode(inp, input_level))
+    net.he()
+    from orion_tpu.runtime.jit import enable_module_jit
+    enable_module_jit(scheme)
+    start = time.time()
+    out = net(ct)
+    import jax
+    jax.block_until_ready(out.cts[0].data)
+    print(f"first encrypted forward: {time.time()-start:.1f}s")
+    ct2 = orion.encrypt(orion.encode(inp, input_level))
+    start = time.time()
+    out2 = net(ct2)
+    jax.block_until_ready(out2.cts[0].data)
+    print(f"steady-state encrypted forward: {time.time()-start:.1f}s")
+    out_fhe = np.asarray(out.decrypt().decode()).reshape(-1)
+    clear = np.asarray(out_clear).reshape(-1)
+    print("MAE:", mae(clear, out_fhe[: clear.size]))
+
+
+if __name__ == "__main__":
+    main()

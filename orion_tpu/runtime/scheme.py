@@ -10,6 +10,7 @@ residuals -> bootstrap solve/place -> per-module compile.
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Any, Dict, Union
 
@@ -44,6 +45,22 @@ class Scheme:
             raise TypeError("config must be a YAML path or a dict")
         self.params = parse_config(config)
         p = self.params
+
+        # Persistent XLA compilation cache for example/production runs: the
+        # first encrypted forward of a deep net is dominated by per-module
+        # XLA compiles (resnet_r4.log: 6216 s first vs 219 s steady), and
+        # without a cache dir every process re-pays all of it.  Opt out
+        # with ORION_TPU_COMPILE_CACHE=0; tests set their own dir.
+        import jax
+        cache_dir = os.environ.get("ORION_TPU_COMPILE_CACHE", "")
+        if cache_dir != "0" and jax.config.jax_compilation_cache_dir is None:
+            if not cache_dir:
+                cache_dir = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__)))), ".jax_cache_tpu")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
         # stream mode: compiled buffers (keys, diagonals, circuits) are
         # built and held in host numpy — nothing crosses the TPU tunnel at
