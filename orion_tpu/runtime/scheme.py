@@ -49,18 +49,33 @@ class Scheme:
         # Persistent XLA compilation cache for example/production runs: the
         # first encrypted forward of a deep net is dominated by per-module
         # XLA compiles (resnet_r4.log: 6216 s first vs 219 s steady), and
-        # without a cache dir every process re-pays all of it.  Opt out
-        # with ORION_TPU_COMPILE_CACHE=0; tests set their own dir.
+        # without a cache dir every process re-pays all of it.
+        # ORION_TPU_COMPILE_CACHE=0 disables; ORION_TPU_COMPILE_CACHE_DIR
+        # overrides the location (the old one-variable form, where a
+        # directory path rode in ORION_TPU_COMPILE_CACHE itself, is still
+        # honored for compatibility; an empty value means "default").
         import jax
-        cache_dir = os.environ.get("ORION_TPU_COMPILE_CACHE", "")
-        if cache_dir != "0" and jax.config.jax_compilation_cache_dir is None:
+        cache_flag = os.environ.get("ORION_TPU_COMPILE_CACHE", "")
+        if cache_flag != "0" and jax.config.jax_compilation_cache_dir is None:
+            cache_dir = os.environ.get("ORION_TPU_COMPILE_CACHE_DIR", "")
+            if not cache_dir and cache_flag not in ("", "1"):
+                cache_dir = cache_flag  # legacy: flag carried the path
             if not cache_dir:
-                cache_dir = os.path.join(
-                    os.path.dirname(os.path.dirname(os.path.dirname(
-                        os.path.abspath(__file__)))), ".jax_cache_tpu")
+                # source checkout -> repo-local dir (shared across the
+                # repo's processes); installed package -> per-user cache
+                # (site-packages may be read-only or shared)
+                pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))))
+                if os.path.exists(os.path.join(pkg_root, "pyproject.toml")):
+                    cache_dir = os.path.join(pkg_root, ".jax_cache_tpu")
+                else:
+                    cache_dir = os.path.join(
+                        os.path.expanduser("~"), ".cache", "orion_tpu", "jax")
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            print(f"[orion_tpu] persistent compile cache: {cache_dir} "
+                  "(ORION_TPU_COMPILE_CACHE=0 disables)")
 
         # stream mode: compiled buffers (keys, diagonals, circuits) are
         # built and held in host numpy — nothing crosses the TPU tunnel at
