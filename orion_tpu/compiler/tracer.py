@@ -137,7 +137,15 @@ class Tracer:
 
         self._validate(node, module, parents)
         self._update_input_stats(node, vals, parents)
-        result = module.forward(*vals)
+        # a leaf's forward runs OUTSIDE the trace: if the leaf has internal
+        # sub-modules (e.g. ReLU's mult/sign when train.build_functional
+        # forces ReLU itself to be the leaf), their calls must execute
+        # plainly rather than spawn nested DAG nodes
+        _state.tracer = None
+        try:
+            result = module.forward(*vals)
+        finally:
+            _state.tracer = self
         self._update_output_stats(node, module, result)
         self._sync(node, module)
         return TracedTensor(result, name)

@@ -194,6 +194,83 @@ def dryrun_model_mesh(n_devices: int) -> None:
           f"mesh OK, max err={err:.2e}")
 
 
+def dryrun_boot_mesh(n_devices: int) -> None:
+    """fit -> compile -> encrypt -> SHARDED forward of a BOOTSTRAPPED net.
+
+    The user chain (l_eff 3) is shorter than the network depth, so the
+    level solver MUST place a bootstrap; the full pipeline — ModRaise,
+    sparse CtS/StC homomorphic DFTs, EvalMod, recombination — then traces
+    into the same dp x limb SPMD program as the surrounding layers (no
+    phase_runner is installed, so `crypto/bootstrap.py` runs as pure jax
+    under the outer jit) and executes sharded: batch over dp, the RNS-limb
+    axis of every ciphertext (including the widened bootstrap-internal
+    basis) over limb.
+    """
+    import orion_tpu.nn as on
+    from ..runtime.scheme import Scheme
+    from ..runtime.mesh import make_sharded_forward, encrypt_batch
+
+    limb = 2 if n_devices % 2 == 0 else 1
+    dp = n_devices // limb
+    mesh = Mesh(np.array(jax.devices()[:n_devices]).reshape(dp, limb),
+                axis_names=("dp", "limb"))
+
+    class DeepMLP(on.Module):
+        def __init__(self):
+            super().__init__()
+            self.flatten = on.Flatten()
+            self.fc1 = on.Linear(16, 8)
+            self.act1 = on.Quad()
+            self.fc2 = on.Linear(8, 8)
+            self.act2 = on.Quad()
+            self.fc3 = on.Linear(8, 4)
+
+        def forward(self, x):
+            x = self.act1(self.fc1(self.flatten(x)))
+            x = self.act2(self.fc2(x))
+            return self.fc3(x)
+
+    scheme = Scheme().init_scheme(dict(
+        ckks_params=dict(LogN=9, LogQ=[29, 26, 26, 26], LogP=[29, 29],
+                         LogScale=26, H=64),
+        boot_params=dict(CtSLevels=3, StCLevels=3, ModDegree=255, K=15),
+        orion=dict(margin=2, embedding_method="hybrid", backend="tpu",
+                   fuse_modules=True, debug=False, io_mode="none"),
+    ))
+    rng = np.random.default_rng(5)
+    fit_data = [rng.uniform(-1, 1, (1, 1, 4, 4)).astype(np.float32)
+                for _ in range(16)]
+
+    net = DeepMLP()
+    net.eval()
+    queries = [rng.uniform(-1, 1, (1, 1, 4, 4)).astype(np.float32)
+               for _ in range(dp)]
+    clear = [np.asarray(net(q)).reshape(-1) for q in queries]
+
+    scheme.fit(net, fit_data, batch_size=8)
+    input_level = scheme.compile(net)
+    placed = [m for m in net.modules()
+              if getattr(m, "post_bootstrap", None) is not None]
+    if not placed:
+        raise AssertionError("level solver placed no bootstrap")
+    net.he()
+
+    batch = encrypt_batch(scheme, queries, input_level)
+    fwd = make_sharded_forward(net, scheme, mesh)
+    outs = fwd(batch)
+    errs = []
+    for want, out in zip(clear, outs):
+        got = np.asarray(out.decrypt().decode()).reshape(-1)[: want.size]
+        errs.append(float(np.max(np.abs(got - want))))
+    err = max(errs)
+    if not np.isfinite(err) or err > 5e-3:
+        raise AssertionError(f"sharded bootstrapped forward mismatch: "
+                             f"err={err}")
+    print(f"[dryrun_multichip] bootstrapped forward ({len(placed)} "
+          f"bootstrap(s)) on (dp={dp}, limb={limb}) mesh OK, "
+          f"max err={err:.2e}")
+
+
 def dryrun_multichip(n_devices: int) -> None:
     """Compile + run the sharded encrypted paths on tiny shapes.
 
@@ -201,11 +278,15 @@ def dryrun_multichip(n_devices: int) -> None:
       1. a COMPILED network (full fit/compile/encrypt pipeline) running
          dp x limb sharded through `runtime.mesh.make_sharded_forward`
          — batch over dp, RNS limbs (and so every key-switch) over limb;
-      2. the explicit limb(RNS)-sharded key-switch (limbshard.py): KSK
+      2. a compiled network whose plan CONTAINS A BOOTSTRAP, its whole
+         ModRaise/CtS/EvalMod/StC pipeline executing inside the same
+         dp x limb SPMD program (dryrun_boot_mesh);
+      3. the explicit limb(RNS)-sharded key-switch (limbshard.py): KSK
          row blocks sharded across all chips, digit all-gather + ModDown
          psum, verified bit-exact against the single-chip path.
     """
     dryrun_model_mesh(n_devices)
+    dryrun_boot_mesh(n_devices)
 
     # ---- limb-sharded key-switch (bit-exact vs single chip) ----
     from .limbshard import make_sharded_keyswitch

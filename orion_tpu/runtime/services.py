@@ -184,8 +184,36 @@ class PolyEvaluatorService:
     def evaluate_polynomial(self, ctensor: CipherTensor, poly: Polynomial,
                             output_scale=None) -> CipherTensor:
         ev = self.scheme.evaluator
-        outs = [evaluate_polynomial(ev, ct, poly, output_scale)
-                for ct in ctensor.cts]
+        cts = ctensor.cts
+        same_meta = len(cts) > 1 and all(
+            c.level == cts[0].level and c.scale == cts[0].scale
+            and c.data.shape == cts[0].data.shape for c in cts[1:])
+        if same_meta:
+            # multi-ct tensor: every member shares (level, scale), so the
+            # BSGS circuit is identical — lax.map compiles ONE body and
+            # runs it per ct instead of unrolling the whole power-basis +
+            # key-switch graph len(cts) times into the XLA program (a VGG
+            # feature tensor is 8 cts: unrolled sign programs were too
+            # large for the remote compile helper)
+            import jax
+            import jax.numpy as jnp
+            lv, sc = cts[0].level, cts[0].scale
+            meta = {}
+
+            def body(d):
+                out = evaluate_polynomial(
+                    ev, Ciphertext(d, lv, sc), poly, output_scale)
+                meta["out"] = (out.level, out.scale)
+                return out.data
+
+            stacked = jnp.stack([c.data for c in cts])
+            out_d = jax.lax.map(body, stacked)
+            olv, osc = meta["out"]
+            outs = [Ciphertext(out_d[i], olv, osc)
+                    for i in range(len(cts))]
+        else:
+            outs = [evaluate_polynomial(ev, ct, poly, output_scale)
+                    for ct in cts]
         return CipherTensor(self.scheme, outs, ctensor.shape,
                             ctensor.on_shape)
 

@@ -257,6 +257,30 @@ def write_back(net: Module, params, state, modules):
 #  Train / test loops                                                #
 # ------------------------------------------------------------------ #
 
+def save_checkpoint(params, path):
+    """Flatten a params pytree ({layer: {k: array}}) into one .npz file.
+
+    Reference parity: `orion/core/utils.py:380-389` (torch.save of the best
+    state_dict during training) — ours is a numpy archive keyed
+    "layer/param" so it round-trips without torch.
+    """
+    flat = {}
+    for name, p in params.items():
+        for k, v in p.items():
+            flat[f"{name}/{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path):
+    """Inverse of save_checkpoint: returns the nested params dict."""
+    params: dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            name, k = key.rsplit("/", 1)
+            params.setdefault(name, {})[k] = np.asarray(data[key])
+    return params
+
+
 def train(net: Module, trainloader, testloader=None, epochs: int = 1,
           lr: float = 0.05, momentum: float = 0.9, weight_decay: float = 5e-4,
           checkpoint_path: str | None = None, log_every: int = 50):
@@ -314,11 +338,7 @@ def train(net: Module, trainloader, testloader=None, epochs: int = 1,
                   f"test acc {acc:.4f}")
             if checkpoint_path and acc > best_acc:
                 best_acc = acc
-                flat = {}
-                for name, p in params.items():
-                    for k, v in p.items():
-                        flat[f"{name}/{k}"] = np.asarray(v)
-                np.savez(checkpoint_path, **flat)
+                save_checkpoint(params, checkpoint_path)
     write_back(net, params, state, modules)
     return net
 
