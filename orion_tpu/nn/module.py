@@ -35,6 +35,11 @@ class Parameter:
 class Module(ABC):
     scheme = None
     margin = None
+    # optional observer fired with (module, output) after every leaf call,
+    # in clear AND he mode — the noise profiler (diagnostics.py) uses it to
+    # decrypt-and-compare at every module boundary without changing the
+    # execution path (per-module jit outputs are concrete here)
+    output_hook = None
 
     def __init__(self):
         object.__setattr__(self, "_modules", {})
@@ -74,7 +79,13 @@ class Module(ABC):
     def is_leaf(self) -> bool:
         if isinstance(self, (Sequential, ModuleList)):
             return False
-        return not self._modules
+        # an auto-placed Bootstrap (module.post_bootstrap = ...) registers
+        # as a child, but it runs AFTER the module in __call__, outside the
+        # module's own program — it must not demote its host from leaf
+        # status (a non-leaf host would silently skip the per-module jit
+        # runner and execute its linear transform eagerly: on ResNet-20
+        # that was 24 hosts running unjitted)
+        return not any(k != "post_bootstrap" for k in self._modules)
 
     # ----------------- scheme / modes ----------------- #
 
@@ -141,6 +152,9 @@ class Module(ABC):
         pb = getattr(self, "post_bootstrap", None)
         if pb is not None and self.he_mode:
             out = pb(out)
+        hook = Module.output_hook
+        if hook is not None and self.is_leaf():
+            hook(self, out)
         return out
 
     @abstractmethod

@@ -70,6 +70,19 @@ class ShardedKS:
         full[: self.nl] = np.asarray(c_ntt)
         return full.reshape(self.m, self.block, n)
 
+    def put(self, arr: np.ndarray):
+        """Host array -> global device array sharded over the limb axis.
+
+        Required in MULTI-PROCESS meshes (each process owns only its local
+        devices, so a host numpy array cannot be committed to the global
+        mesh implicitly); in single-process meshes it is an optimisation
+        (no reshard on entry).  Dim 0 must be the M row-block axis.
+        """
+        sh = NamedSharding(self.mesh, P(self.axis))
+        a = np.asarray(arr)
+        return jax.make_array_from_callback(a.shape, sh,
+                                            lambda idx: a[idx])
+
     def shard_ksk(self, ksk_data, ksk_shoup, ctx):
         """(dnum_l, 2, n_all, N) KSK -> (M, dnum_l, 2, B, N) row blocks."""
         rows = _t_rows(ctx, self.level)
@@ -100,7 +113,7 @@ def make_sharded_keyswitch(ctx: CKKSContext, level: int, mesh: Mesh,
 
     def split(arr):
         a = np.asarray(arr)
-        return jnp.asarray(a.reshape((m, b) + a.shape[1:]))
+        return a.reshape((m, b) + a.shape[1:])
 
     trows = _t_rows(ctx, level)
     dev = ctx.dev
@@ -119,9 +132,9 @@ def make_sharded_keyswitch(ctx: CKKSContext, level: int, mesh: Mesh,
     for j, dg in enumerate(dl.digits):
         conv = np.asarray(dg.conv)        # (alpha, n_t, 1)
         convs = np.asarray(dg.conv_shoup)
-        tabs[f"dg{j}_conv"] = jnp.asarray(
+        tabs[f"dg{j}_conv"] = np.asarray(
             conv.reshape(conv.shape[0], m, b, 1).transpose(1, 0, 2, 3).copy())
-        tabs[f"dg{j}_conv_shoup"] = jnp.asarray(
+        tabs[f"dg{j}_conv_shoup"] = np.asarray(
             convs.reshape(conv.shape[0], m, b, 1).transpose(1, 0, 2, 3).copy())
         tabs[f"dg{j}_dmod"] = split(np.asarray(dg.d_mod_t))
         tabs[f"dg{j}_dmod_shoup"] = split(np.asarray(dg.d_mod_t_shoup))
@@ -139,9 +152,9 @@ def make_sharded_keyswitch(ctx: CKKSContext, level: int, mesh: Mesh,
     md_dmod[:nl] = np.asarray(md.d_mod_t)
     md_dmod_s = np.zeros((n_t, 1), np.uint32)
     md_dmod_s[:nl] = np.asarray(md.d_mod_t_shoup)
-    tabs["md_conv"] = jnp.asarray(
+    tabs["md_conv"] = np.asarray(
         md_conv.reshape(n_sp, m, b, 1).transpose(1, 0, 2, 3).copy())
-    tabs["md_conv_shoup"] = jnp.asarray(
+    tabs["md_conv_shoup"] = np.asarray(
         md_conv_s.reshape(n_sp, m, b, 1).transpose(1, 0, 2, 3).copy())
     tabs["md_dmod"] = split(md_dmod)
     tabs["md_dmod_shoup"] = split(md_dmod_s)
@@ -158,11 +171,22 @@ def make_sharded_keyswitch(ctx: CKKSContext, level: int, mesh: Mesh,
         c, loc = divmod(nl + i, b)
         spec_src[c, i] = loc
         own_sp[c, i] = True
-    tabs["spec_src"] = jnp.asarray(spec_src)
-    tabs["own_sp"] = jnp.asarray(own_sp)
+    tabs["spec_src"] = spec_src
+    tabs["own_sp"] = own_sp
 
     names = sorted(tabs)
-    table_args = tuple(tabs[k] for k in names)
+    # tables are created as GLOBAL arrays sharded over the limb axis: in a
+    # multi-process mesh a process-local array cannot be resharded onto
+    # the global mesh implicitly, and in single-process meshes this skips
+    # the on-entry reshard
+    _tab_sh = NamedSharding(mesh, P(axis))
+
+    def _put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, _tab_sh,
+                                            lambda idx, _a=a: _a[idx])
+
+    table_args = tuple(_put(tabs[k]) for k in names)
     md_meta = dict(qhat_inv=md.qhat_inv, qhat_inv_shoup=md.qhat_inv_shoup,
                    src_q_f32=md.src_q_f32, src_p=md.src_p)
 

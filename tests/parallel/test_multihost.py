@@ -84,6 +84,38 @@ for shard in got.addressable_shards:
     rows = shard.index[0]
     assert (np.asarray(shard.data) == ref[rows]).all()
 
+# ---- the real claim of multihost.py's design: a limb-sharded hybrid
+# key-switch on the DCN mesh.  KSK row blocks + tables shard over the
+# limb axis (intra-host: the digit all-gather and ModDown psum never
+# cross DCN); the dp axis replicates.  Bit-exact vs the single-process
+# keyswitch computed locally from the same deterministic KeyChest.
+from orion_tpu.crypto.context import CKKSContext
+from orion_tpu.crypto.keys import KeyChest
+from orion_tpu.crypto.keyswitch import dev_level as _dl, keyswitch as _ks
+from orion_tpu.parallel.limbshard import make_sharded_keyswitch
+
+ctx = CKKSContext(logn=6, logq=[28, 26, 26, 26, 26, 26], logp=[28, 28],
+                  logscale=26, h=16, seed=7)
+keys = KeyChest(ctx)   # deterministic from ctx.seed -> identical per process
+lvl = ctx.max_level    # 6 Q limbs + 2 P limbs = 8 rows over limb=4 -> B=2
+rng = np.random.default_rng(11)
+c = np.stack([rng.integers(0, ctx.primes[i], ctx.n, dtype=np.int64)
+              for i in range(lvl + 1)]).astype(np.uint32)
+want = np.asarray(_ks(c, _dl(ctx, lvl), keys.relin_key.data,
+                      keys.relin_key.shoup))          # local, process-private
+
+sks = make_sharded_keyswitch(ctx, lvl, mesh)          # dp x limb DCN mesh
+kd, kss = sks.shard_ksk(keys.relin_key.data, keys.relin_key.shoup, ctx)
+got_ks = sks.fn(sks.put(sks.pad_poly(c)), sks.put(kd), sks.put(kss))
+# globally-sharded output: check this process's addressable row blocks
+nl = lvl + 1
+for shard in got_ks.addressable_shards:
+    rows = range(*shard.index[1].indices(sks.m * sks.block))
+    data = np.asarray(shard.data)
+    for k, r in enumerate(rows):
+        if r < nl:  # Q rows are the valid switched poly
+            assert (data[:, k] == want[:, r]).all(), (pid, r)
+
 print(f"worker {pid}: OK", flush=True)
 """
 
