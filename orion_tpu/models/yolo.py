@@ -1,5 +1,11 @@
 """YOLOv1 detection head on a ResNet backbone (reference
-`orion/models/yolo.py`)."""
+`orion/models/yolo.py:8-84`).
+
+Defaults reproduce the reference exactly (512-channel head, SiLU degree
+127, 4096-unit fc, ResNet-34 backbone at 448x448 input).  `width`,
+`act_degree` and `fc_dim` additionally allow a reduced-size instance of
+the same graph so the full fit/compile pipeline is testable at toy input
+sizes (tests/models/test_yolo_compile.py)."""
 
 import orion_tpu.nn as on
 
@@ -7,11 +13,15 @@ from .resnet import ResNet34
 
 
 class YOLOv1(on.Module):
-    def __init__(self, backbone, num_bboxes=2, num_classes=20):
+    def __init__(self, backbone, num_bboxes=2, num_classes=20,
+                 width=512, act_degree=127, fc_dim=4096):
         super().__init__()
         self.feature_size = 7
         self.num_bboxes = num_bboxes
         self.num_classes = num_classes
+        self.width = width
+        self.act_degree = act_degree
+        self.fc_dim = fc_dim
 
         self.backbone = backbone
         self.conv_layers = self._make_conv_layers()
@@ -23,24 +33,25 @@ class YOLOv1(on.Module):
         self.backbone.linear = on.Identity()
 
     def _make_conv_layers(self):
+        w, d = self.width, self.act_degree
         return on.Sequential(
-            on.Conv2d(512, 512, 3, padding=1),
-            on.SiLU(degree=127),
-            on.Conv2d(512, 512, 3, stride=2, padding=1),
-            on.SiLU(degree=127),
-            on.Conv2d(512, 512, 3, padding=1),
-            on.SiLU(degree=127),
-            on.Conv2d(512, 512, 3, padding=1),
-            on.SiLU(degree=127),
+            on.Conv2d(w, w, 3, padding=1),
+            on.SiLU(degree=d),
+            on.Conv2d(w, w, 3, stride=2, padding=1),
+            on.SiLU(degree=d),
+            on.Conv2d(w, w, 3, padding=1),
+            on.SiLU(degree=d),
+            on.Conv2d(w, w, 3, padding=1),
+            on.SiLU(degree=d),
         )
 
     def _make_fc_layers(self):
         S, B, C = self.feature_size, self.num_bboxes, self.num_classes
         return on.Sequential(
             on.Flatten(),
-            on.Linear(7 * 7 * 512, 4096),
-            on.SiLU(degree=127),
-            on.Linear(4096, S * S * (5 * B + C)),
+            on.Linear(S * S * self.width, self.fc_dim),
+            on.SiLU(degree=self.act_degree),
+            on.Linear(self.fc_dim, S * S * (5 * B + C)),
         )
 
     def forward(self, x):

@@ -26,7 +26,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..crypto import CKKSContext, Encoder, Evaluator, KeyChest
 from ..crypto.ciphertext import Ciphertext
@@ -198,17 +198,19 @@ def dryrun_boot_mesh(n_devices: int) -> None:
     """fit -> compile -> encrypt -> SHARDED forward of a BOOTSTRAPPED net.
 
     The user chain (l_eff 3) is shorter than the network depth, so the
-    level solver MUST place a bootstrap; the full pipeline — ModRaise,
-    sparse CtS/StC homomorphic DFTs, EvalMod, recombination — then traces
-    into the same dp x limb SPMD program as the surrounding layers (no
-    phase_runner is installed, so `crypto/bootstrap.py` runs as pure jax
-    under the outer jit) and executes sharded: batch over dp, the RNS-limb
-    axis of every ciphertext (including the widened bootstrap-internal
-    basis) over limb.
+    level solver MUST place a bootstrap; the encrypted forward then runs
+    the PRODUCTION path — per-module jit programs plus the bootstrap's
+    phase programs (PhaseRunner: ModRaise, sparse CtS/StC stages, EvalMod,
+    recombination) — with the ciphertext's RNS-limb axis sharded over the
+    mesh's `limb` axis and every compiled buffer committed replicated onto
+    the mesh (scheme.pin_sharding), so each phase program executes
+    limb-sharded under XLA SPMD.  (A single monolithic trace of the whole
+    bootstrapped circuit is deliberately NOT used: it is exactly the
+    program the phase split exists to avoid.)
     """
     import orion_tpu.nn as on
     from ..runtime.scheme import Scheme
-    from ..runtime.mesh import make_sharded_forward, encrypt_batch
+    from ..runtime.jit import enable_module_jit
 
     limb = 2 if n_devices % 2 == 0 else 1
     dp = n_devices // limb
@@ -235,7 +237,7 @@ def dryrun_boot_mesh(n_devices: int) -> None:
                          LogScale=26, H=64),
         boot_params=dict(CtSLevels=3, StCLevels=3, ModDegree=255, K=15),
         orion=dict(margin=2, embedding_method="hybrid", backend="tpu",
-                   fuse_modules=True, debug=False, io_mode="none"),
+                   fuse_modules=True, debug=False, io_mode="stream"),
     ))
     rng = np.random.default_rng(5)
     fit_data = [rng.uniform(-1, 1, (1, 1, 4, 4)).astype(np.float32)
@@ -243,9 +245,8 @@ def dryrun_boot_mesh(n_devices: int) -> None:
 
     net = DeepMLP()
     net.eval()
-    queries = [rng.uniform(-1, 1, (1, 1, 4, 4)).astype(np.float32)
-               for _ in range(dp)]
-    clear = [np.asarray(net(q)).reshape(-1) for q in queries]
+    query = rng.uniform(-1, 1, (1, 1, 4, 4)).astype(np.float32)
+    want = np.asarray(net(query)).reshape(-1)
 
     scheme.fit(net, fit_data, batch_size=8)
     input_level = scheme.compile(net)
@@ -255,20 +256,26 @@ def dryrun_boot_mesh(n_devices: int) -> None:
         raise AssertionError("level solver placed no bootstrap")
     net.he()
 
-    batch = encrypt_batch(scheme, queries, input_level)
-    fwd = make_sharded_forward(net, scheme, mesh)
-    outs = fwd(batch)
-    errs = []
-    for want, out in zip(clear, outs):
-        got = np.asarray(out.decrypt().decode()).reshape(-1)[: want.size]
-        errs.append(float(np.max(np.abs(got - want))))
-    err = max(errs)
+    # production runners (per-module programs + bootstrap phase programs),
+    # with buffers committed replicated on the mesh and the ct's limb axis
+    # sharded: every program - including each bootstrap phase - runs SPMD
+    enable_module_jit(scheme)
+    scheme.pin_sharding = NamedSharding(mesh, P())
+    ct = scheme.encrypt(scheme.encode(query, input_level))
+    limb_sh = NamedSharding(mesh, P(None, "limb", None))
+    from dataclasses import replace
+    ct.cts = [replace(c, data=jax.device_put(c.data, limb_sh))
+              for c in ct.cts]
+    out = net(ct)
+    got = np.asarray(out.decrypt().decode()).reshape(-1)[: want.size]
+    err = float(np.max(np.abs(got - want)))
     if not np.isfinite(err) or err > 5e-3:
         raise AssertionError(f"sharded bootstrapped forward mismatch: "
                              f"err={err}")
+    scheme.pin_sharding = None
     print(f"[dryrun_multichip] bootstrapped forward ({len(placed)} "
-          f"bootstrap(s)) on (dp={dp}, limb={limb}) mesh OK, "
-          f"max err={err:.2e}")
+          f"bootstrap(s), phase programs) on (dp={dp}, limb={limb}) mesh "
+          f"OK, max err={err:.2e}")
 
 
 def dryrun_multichip(n_devices: int) -> None:

@@ -152,13 +152,21 @@ def make_module_runner(scheme):
         "ORION_TPU_RESIDENT_MB", "4096")) * 1e6
     resident = {"bytes": 0}
 
+    def _put(v):
+        # mesh execution (runtime/mesh, parallel dryruns): buffers must be
+        # committed REPLICATED onto the same mesh as the sharded ct args —
+        # a single-device committed array mixed with mesh-sharded args is
+        # an error.  scheme.pin_sharding (a NamedSharding) opts in.
+        sh = getattr(scheme, "pin_sharding", None)
+        return jax.device_put(v, sh) if sh is not None else jax.device_put(v)
+
     def _promote(swaps):
         import numpy as _np
         for sw in swaps:
             v = sw.getter()
             if isinstance(v, _np.ndarray) and \
                     resident["bytes"] + v.nbytes <= resident_budget:
-                sw.setter(jax.device_put(v))
+                sw.setter(_put(v))
                 resident["bytes"] += v.nbytes
 
     def run(module, args):
@@ -188,7 +196,7 @@ def make_module_runner(scheme):
                 if sw.pin_device:
                     v = sw.getter()
                     if isinstance(v, _np.ndarray):
-                        sw.setter(jax.device_put(v))
+                        sw.setter(_put(v))
             swaps_by_module[id(module)] = swaps
         swaps = swaps_by_module[id(module)]
         if resident_budget > 0:
@@ -281,10 +289,12 @@ class PhaseRunner:
 
         from ..crypto.ciphertext import Ciphertext
 
+        pin_sh = getattr(self.scheme, "pin_sharding", None)
         for sw in swaps:
             v = sw.getter()
             if sw.pin_device and isinstance(v, _np.ndarray):
-                sw.setter(jax.device_put(v))
+                sw.setter(jax.device_put(v) if pin_sh is None
+                          else jax.device_put(v, pin_sh))
         bufsig = tuple(
             (getattr(v, "shape", None), str(getattr(v, "dtype", "")))
             for v in (sw.getter() for sw in swaps))
