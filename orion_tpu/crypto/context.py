@@ -65,6 +65,15 @@ class LevelKSTables:
     qlast_mod_t_shoup: np.ndarray
     qlast_inv: np.ndarray         # (l,) [q_l^-1]_t
     qlast_inv_shoup: np.ndarray
+    # Fused ModDown+rescale epilogue (divide by P*q_l in ONE basis
+    # conversion): FBC from {specials, q_l} to q_0..q_{l-1}, then
+    # * (P*q_l)^-1; P mod q_i lifts the ciphertext part into the
+    # pre-division accumulator.  None at level 0 (nothing to rescale into).
+    dropdown: DigitTables | None = None
+    dqinv_mod_q: np.ndarray | None = None        # (l,) [(P q_l)^-1]_{q_i}
+    dqinv_mod_q_shoup: np.ndarray | None = None
+    p_mod_q: np.ndarray | None = None            # (l+1,) [P]_{q_i}
+    p_mod_q_shoup: np.ndarray | None = None
 
 
 class CKKSContext:
@@ -278,12 +287,34 @@ class CKKSContext:
             ql_inv[i] = v
             ql_inv_sh[i] = shoup_precompute(v, qi)
 
-        return LevelKSTables(
+        out = LevelKSTables(
             level=level, digits=digits, moddown=moddown,
             pinv_mod_q=pinv_q, pinv_mod_q_shoup=pinv_q_sh,
             qlast_mod_t=ql_mod, qlast_mod_t_shoup=ql_mod_sh,
             qlast_inv=ql_inv, qlast_inv_shoup=ql_inv_sh,
         )
+        if level >= 1:
+            sp_idx = list(range(self.n_q, self.n_all))
+            out.dropdown = self._digit_tables(sp_idx + [level],
+                                              list(range(level)))
+            dq = self.P * qlast
+            dqinv = np.zeros(level, np.uint32)
+            dqinv_sh = np.zeros(level, np.uint32)
+            pmod = np.zeros(nq, np.uint32)
+            pmod_sh = np.zeros(nq, np.uint32)
+            for i in range(level):
+                qi = self.primes[i]
+                v = pow(dq % qi, -1, qi)
+                dqinv[i] = v
+                dqinv_sh[i] = shoup_precompute(v, qi)
+            for i in range(nq):
+                qi = self.primes[i]
+                pm = self.P % qi
+                pmod[i] = pm
+                pmod_sh[i] = shoup_precompute(pm, qi)
+            out.dqinv_mod_q, out.dqinv_mod_q_shoup = dqinv, dqinv_sh
+            out.p_mod_q, out.p_mod_q_shoup = pmod, pmod_sh
+        return out
 
     # ------------------------------------------------------------------ #
     #  Automorphisms                                                     #

@@ -94,6 +94,13 @@ class DevLevel:
     q_t4: dict | None = None
     t_t4: dict | None = None
     s_t4: dict | None = None
+    # fused ModDown+rescale (divide by P*q_l in one basis conversion);
+    # None at level 0 or on the CI ring
+    dropdown: "DevDigit | None" = None
+    dqinv: jnp.ndarray | None = None
+    dqinv_shoup: jnp.ndarray | None = None
+    p_mod_q: jnp.ndarray | None = None
+    p_mod_q_shoup: jnp.ndarray | None = None
 
 
 # Registered as pytrees so the key-switch entry points can be jax.jit'ed
@@ -207,6 +214,12 @@ def _build_dev_level(ctx: CKKSContext, level: int,
         ci_src=d.get("ci_src"),
         ring_n=ctx.n,
     )
+    if lt.dropdown is not None and d.get("ci_keep") is None:
+        out.dropdown = _dev_digit(lt.dropdown, ctx)
+        out.dqinv = jnp.asarray(lt.dqinv_mod_q[:, None])
+        out.dqinv_shoup = jnp.asarray(lt.dqinv_mod_q_shoup[:, None])
+        out.p_mod_q = jnp.asarray(lt.p_mod_q[:, None])
+        out.p_mod_q_shoup = jnp.asarray(lt.p_mod_q_shoup[:, None])
     if getattr(ctx, "t4_keys", None):
         def t4_slice(r):
             idx = jnp.asarray(np.array(r, np.int32))
@@ -320,10 +333,13 @@ def _ks_decompose_jit(c_ntt, dl: DevLevel, *, fused):
     exts = []
     for dg in dl.digits:
         z = c_coeff[dg.src_lo:dg.src_hi]
-        ext = fbc(z, dg, dl.t_p[:, None])
-        exts.append(ring_ntt(ext, dl.t_tw, dl.t_tw_shoup, dl.t_p, dl,
-                             dl.t_t4))
-    return jnp.stack(exts)
+        exts.append(fbc(z, dg, dl.t_p[:, None]))
+    # every digit's extension shares the target-basis tables, so ONE
+    # batched NTT over (dnum, n_t, N) replaces dnum sequential launches —
+    # 3x the rows per kernel at the shallow (MLP) regime where the
+    # per-launch latency, not VPU throughput, bounds keyswitch/s
+    return ring_ntt(jnp.stack(exts), dl.t_tw, dl.t_tw_shoup, dl.t_p, dl,
+                    dl.t_t4)
 
 
 def ks_decompose(c_ntt, dl: DevLevel):
@@ -343,10 +359,10 @@ def ks_decompose(c_ntt, dl: DevLevel):
     return _ks_decompose_jit(c_ntt, dl, fused=_fused_enabled())
 
 
-@partial(jax.jit, static_argnames=("trimmed", "fused"))
+@partial(jax.jit, static_argnames=("trimmed", "fused", "raw"))
 def _ks_finish_jit(ext, dl: DevLevel, ksk_data, ksk_shoup, *,
-                   trimmed, fused):
-    if fused:
+                   trimmed, fused, raw=False):
+    if fused and not raw:
         from . import ks_pallas as kp
         lean = ksk_shoup is None
         if kp.ks_supported(dl, _ksk_bytes(dl, lean)):
@@ -379,6 +395,11 @@ def _ks_finish_jit(ext, dl: DevLevel, ksk_data, ksk_shoup, *,
         else:
             acc0 = add_mod(acc0, t0, tp)
             acc1 = add_mod(acc1, t1, tp)
+    if raw:
+        # pre-ModDown accumulator in the extended basis: the caller fuses
+        # ModDown with rescale (mod_drop_rescale) after folding in the
+        # ciphertext part
+        return jnp.stack([acc0, acc1])
     out0 = mod_down(acc0, dl)
     out1 = mod_down(acc1, dl)
     return jnp.stack([out0, out1])
@@ -413,6 +434,52 @@ def keyswitch(c_ntt, dl: DevLevel, ksk_data, ksk_shoup):
     # larger levels: decompose/finish dispatch to the grid-streaming
     # kernels individually when they fit
     return ks_finish(ks_decompose(c_ntt, dl), dl, ksk_data, ksk_shoup)
+
+
+def ks_finish_raw(ext, dl: DevLevel, ksk_data, ksk_shoup=None,
+                  trimmed=False):
+    """Inner product WITHOUT ModDown: (2, n_t, N) extended-basis acc."""
+    return _ks_finish_jit(ext, dl, ksk_data, ksk_shoup,
+                          trimmed=trimmed, fused=False, raw=True)
+
+
+def mod_drop_rescale(acc, dl: DevLevel):
+    """Divide (..., n_t, N) NTT acc by P*q_l in ONE basis conversion.
+
+    Returns (..., level, N): the fused ModDown+rescale epilogue.  One
+    iNTT over the (n_sp+1) divisor rows + one FBC + one NTT over the
+    (level) surviving rows replaces ModDown's full round trip followed by
+    rescale's second one.  Approximation: plain HPS conversion of the
+    divisor-row residues (same argument as mod_down — the error is a
+    small integer over P*q_l, i.e. far below the noise floor added by
+    the keyswitch itself; rescale's centered rounding is subsumed).
+    """
+    if acc.ndim > 2:
+        # fbc contracts over a leading source-limb axis and so does not
+        # broadcast over batch dims — unroll the (small) leading axis
+        return jnp.stack([mod_drop_rescale(acc[i], dl)
+                          for i in range(acc.shape[0])])
+    lvl = dl.level
+    div = jnp.concatenate([acc[..., lvl + 1:, :], acc[..., lvl:lvl + 1, :]],
+                          axis=-2)          # [specials..., q_l] rows
+    itw = jnp.concatenate([dl.s_itw, dl.q_itw[lvl:lvl + 1]])
+    itw_sh = jnp.concatenate([dl.s_itw_shoup, dl.q_itw_shoup[lvl:lvl + 1]])
+    ninv = jnp.concatenate([dl.s_ninv, dl.q_ninv[lvl:lvl + 1]])
+    ninv_sh = jnp.concatenate([dl.s_ninv_shoup,
+                               dl.q_ninv_shoup[lvl:lvl + 1]])
+    pdiv = jnp.concatenate([dl.s_p, dl.q_p[lvl:lvl + 1]])
+    t4 = None
+    if dl.s_t4 is not None and dl.q_t4 is not None:
+        t4 = {k: jnp.concatenate([dl.s_t4[k], dl.q_t4[k][lvl:lvl + 1]])
+              for k in dl.s_t4}
+    z = ring_intt(div, itw, itw_sh, ninv, ninv_sh, pdiv, dl, t4)
+    lift = fbc(z, dl.dropdown, dl.q_p[:lvl, None])
+    q_t4 = ({k: v[:lvl] for k, v in dl.q_t4.items()}
+            if dl.q_t4 is not None else None)
+    lift_ntt = ring_ntt(lift, dl.q_tw[:lvl], dl.q_tw_shoup[:lvl],
+                        dl.q_p[:lvl], dl, q_t4)
+    diff = sub_mod(acc[..., :lvl, :], lift_ntt, dl.q_p[:lvl, None])
+    return shoup_mul(diff, dl.dqinv, dl.dqinv_shoup, dl.q_p[:lvl, None])
 
 
 def mod_down(x, dl: DevLevel):

@@ -24,8 +24,16 @@ import jax.numpy as jnp
 from .ciphertext import Ciphertext, Plaintext
 from .context import CKKSContext
 from .keys import KeyChest
-from .keyswitch import DevLevel, dev_level, keyswitch, rescale_poly
+from .keyswitch import (DevLevel, dev_level, keyswitch, ks_decompose,
+                        ks_finish_raw, mod_drop_rescale, rescale_poly)
 from .modops import add_mod, mont_mul, neg_mod, shoup_mul, sub_mod, to_mont
+
+
+def _fused_rescale() -> bool:
+    """mul_relin's fused ModDown+rescale epilogue (ORION_TPU_FUSED_RESCALE,
+    default on; set "0" to fall back to the two-step epilogue)."""
+    import os
+    return os.environ.get("ORION_TPU_FUSED_RESCALE", "1") != "0"
 
 
 class Evaluator:
@@ -218,6 +226,21 @@ class Evaluator:
                      mont_mul(ct0.data[1], m10, qp, pinv), qp)
         d2 = mont_mul(ct0.data[1], m11, qp, pinv)
         rlk = self.keys.relin_key
+        if rescale and dl.dropdown is not None and _fused_rescale():
+            # fused epilogue: accumulate the relin inner product in the
+            # extended basis, fold the ciphertext part in as P*d, divide
+            # by P*q_l in ONE basis conversion (mod_drop_rescale) — one
+            # NTT round trip instead of ModDown's followed by rescale's
+            ext = ks_decompose(d2, dl)
+            acc = ks_finish_raw(ext, dl, rlk.data, rlk.shoup)
+            pd = shoup_mul(jnp.stack([d0, d1]), dl.p_mod_q,
+                           dl.p_mod_q_shoup, qp)
+            accq = add_mod(acc[:, : lvl + 1], pd, qp)
+            acc = jnp.concatenate([accq, acc[:, lvl + 1:]], axis=1)
+            data = mod_drop_rescale(acc, dl)
+            return Ciphertext(data, lvl - 1,
+                              ct0.scale * ct1.scale
+                              / self.ctx.q_primes[lvl])
         ks = keyswitch(d2, dl, rlk.data, rlk.shoup)
         data = jnp.stack([add_mod(d0, ks[0], qp), add_mod(d1, ks[1], qp)])
         out = Ciphertext(data, lvl, ct0.scale * ct1.scale)
