@@ -26,9 +26,23 @@ import jax
 import jax.numpy as jnp
 
 from .ciphertext import Ciphertext, Plaintext
-from .keyswitch import dev_level, keyswitch, ks_decompose, ks_finish
+from .keyswitch import (dev_level, keyswitch, ks_decompose, ks_finish,
+                        ks_finish_raw, mod_drop_rescale)
 from .modops import add_mod, shoup_mul
 from .ops import Evaluator
+
+
+def _defer_moddown(dl) -> bool:
+    """Blocked transforms accumulate giant rotations in the EXTENDED basis
+    and ModDown+rescale once per output row (mod_drop_rescale) instead of
+    running a full ModDown inside every giant step and a rescale after —
+    (n_giants*n_cols + 1) NTT round trips become n_giants*0 + 1.
+    ORION_TPU_DEFER_MODDOWN=0 falls back; requires the fused drop tables
+    (standard ring, level >= 1)."""
+    import os
+    if os.environ.get("ORION_TPU_DEFER_MODDOWN", "1") == "0":
+        return False
+    return dl.dropdown is not None
 
 
 @dataclass
@@ -323,6 +337,86 @@ def baby_rotation_cache(ev: Evaluator, ct: Ciphertext,
     return cache
 
 
+def eval_transform_scan_ext(ev: Evaluator, tr: ScanTransform,
+                            ct: Ciphertext, rots_cache: dict):
+    """eval_transform_scan with DEFERRED ModDown: returns the extended-basis
+    accumulator uint32 (2, n_t, N) in NTT domain, Q-basis contributions
+    folded in as P*x.  The caller sums accumulators across column blocks
+    and divides ONCE by P*q_l (mod_drop_rescale) per output row.
+    """
+    if ct.level > tr.level:
+        raise ValueError(
+            f"transform compiled at level {tr.level} fed a level-{ct.level} "
+            f"ciphertext; align with mod_drop first")
+    dl = dev_level(ev.ctx, ct.level)
+    qp = dl.q_p[:, None]
+    tp = dl.t_p[:, None]
+    nl = ct.level + 1
+    n_t = nl + int(dl.s_p.shape[0])
+    n = ct.data.shape[-1]
+
+    rot_stack = jnp.stack([rots_cache[b] for b in tr.babies_full])
+    pts = tr.pts[:, :nl]
+    pts_sh = tr.pts_shoup[:, :nl]
+
+    def diag_body(acc, inp):
+        pt, pt_sh, bp, gp = inp
+        rot = rot_stack[bp]
+        prod = shoup_mul(rot, pt[None], pt_sh[None], qp)
+        acc = acc.at[gp].set(add_mod(acc[gp], prod, qp))
+        return acc, None
+
+    acc0 = jnp.zeros((tr.n_giants, 2, nl, n), jnp.uint32)
+    acc, _ = jax.lax.scan(diag_body, acc0,
+                          (pts, pts_sh, tr.b_pos, tr.g_pos))
+
+    def fold_q(x_q):
+        """Q-basis (2, nl, N) value -> extended accumulator as P*x."""
+        px = shoup_mul(x_q, dl.p_mod_q, dl.p_mod_q_shoup, qp)
+        pad = jnp.zeros((2, n_t - nl, n), jnp.uint32)
+        return jnp.concatenate([px, pad], axis=1)
+
+    out = None
+    nonzero_giants = [(i, a) for i, a in enumerate(tr.giants) if a != 0]
+    if tr.giants and tr.giants[0] == 0:
+        out = fold_q(acc[0])
+    if nonzero_giants:
+        pack = build_key_pack(ev, [a for _, a in nonzero_giants],
+                              level=ct.level)
+        amount_to_slot = {a: s for s, a in enumerate(pack.amounts)}
+        lean = pack.ksk_shoup is None
+        trimmed = pack.level is not None
+
+        def giant_body(carry, inp):
+            if lean:
+                acc_i, perm, kd = inp
+                kds = None
+            else:
+                acc_i, perm, kd, kds = inp
+            raw = ks_finish_raw(ks_decompose(acc_i[1], dl), dl, kd, kds,
+                                trimmed=trimmed)
+            # fold the c0 part (Q basis) in as P*c0; special rows of P*c0
+            # vanish (P = 0 mod each special prime)
+            pc0 = shoup_mul(acc_i[0], dl.p_mod_q, dl.p_mod_q_shoup, qp)
+            r0 = jnp.concatenate([add_mod(raw[0, :nl], pc0, qp),
+                                  raw[0, nl:]], axis=0)
+            rot = jnp.stack([r0, raw[1]])[..., perm]
+            return add_mod(carry, rot, tp), None
+
+        idx = jnp.asarray(np.array(
+            [amount_to_slot[a] for _, a in nonzero_giants], np.int32))
+        sel = jnp.asarray(np.array([i for i, _ in nonzero_giants], np.int32))
+        carry0 = out if out is not None else jnp.zeros((2, n_t, n),
+                                                       jnp.uint32)
+        xs = ((acc[sel], pack.perms[idx], pack.ksk[idx]) if lean
+              else (acc[sel], pack.perms[idx], pack.ksk[idx],
+                    pack.ksk_shoup[idx]))
+        out, _ = jax.lax.scan(giant_body, carry0, xs)
+    if out is None:
+        raise ValueError("empty transform")
+    return out
+
+
 def eval_transform_blocked_scan(ev: Evaluator, grid: dict,
                                 cts: list[Ciphertext],
                                 num_rows: int) -> list[Ciphertext]:
@@ -345,6 +439,35 @@ def eval_transform_blocked_scan(ev: Evaluator, grid: dict,
         j: baby_rotation_cache(ev, cts[j], babies_per_col[j])
         for j in range(num_cols)
     }
+
+    levels = {c.level for c in cts}
+    scales = {c.level: c.scale for c in cts}
+    if len(levels) == 1:
+        lvl = cts[0].level
+        dl = dev_level(ev.ctx, lvl)
+        if _defer_moddown(dl) and lvl >= 1:
+            # deferred path: per (row, col) the giants accumulate in the
+            # extended basis; column blocks sum there too; ONE fused
+            # ModDown+rescale per output row replaces a ModDown inside
+            # every giant step plus the final rescale
+            tp = dl.t_p[:, None]
+            pt_scale = next(iter(grid.values())).pt_scale
+            outs = []
+            for i in range(num_rows):
+                acc = None
+                for j in range(num_cols):
+                    tr = grid.get((i, j))
+                    if tr is None:
+                        continue
+                    part = eval_transform_scan_ext(ev, tr, cts[j],
+                                                   rot_caches[j])
+                    acc = part if acc is None else add_mod(acc, part, tp)
+                data = mod_drop_rescale(acc, dl)
+                outs.append(Ciphertext(
+                    data, lvl - 1,
+                    cts[0].scale * pt_scale / ev.ctx.q_primes[lvl]))
+            return outs
+
     outs = []
     for i in range(num_rows):
         acc = None
