@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--config", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run the profiled forward N times and report the "
+                         "LAST pass — pass 2+ is compile-warm, so the "
+                         "per-stage seconds are the steady-state "
+                         "per-module breakdown")
     args = ap.parse_args()
 
     if args.cpu:
@@ -67,7 +72,11 @@ def main():
     from orion_tpu.runtime.jit import enable_module_jit
     enable_module_jit(scheme)
 
-    records = noise_profile(net, scheme, np.asarray(inp), input_level)
+    for rep_i in range(max(1, args.repeat)):
+        t0 = time.time()
+        records = noise_profile(net, scheme, np.asarray(inp), input_level)
+        print(f"pass {rep_i}: forward+profile {time.time()-t0:.1f}s",
+              flush=True)
     out_path = args.out or f"NOISE_{args.model}.json"
     rep = write_noise_report(records, out_path, meta={
         "model": args.model, "config": config,
