@@ -150,6 +150,63 @@ def microbench():
 
     t_mult_b = timed(mult_batched, batch) / B
 
+    # --- PRODUCTION ct-ct multiply: tensor + relin + RESCALE (the op a
+    # network actually runs; exercises the fused ModDown+rescale
+    # epilogue).  A level-descending chain L->0 inside one program
+    # amortises dispatch; per-op time = chain time / level. ---
+    @jax.jit
+    def mult_rescale_chain(data):
+        c = Ciphertext(data, level, s)
+        for _ in range(level):
+            c = ev.mul_relin(c, c)  # rescale=True: drops one level
+        return c.data
+
+    out = mult_rescale_chain(ct.data)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    inner = 8
+    for _ in range(inner):
+        out = mult_rescale_chain(ct.data)
+    jax.block_until_ready(out)
+    t_mult_rs = (time.time() - t0) / (inner * level)
+
+    # --- blocked linear transform (the ResNet/VGG hot path): 2x2 grid,
+    # 16 diagonals per block — deferred-ModDown vs per-giant ModDown ---
+    from orion_tpu.crypto import lintrans_scan as lts
+
+    def build_grid():
+        grid = {}
+        for (i, j) in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+            diags = {int(d): rng.uniform(-0.3, 0.3, ctx.slots)
+                     for d in range(0, 64, 4)}
+            grid[(i, j)] = lts.compile_transform_scan(
+                enc, diags, level, ctx.slots)
+        return grid
+
+    grid = build_grid()
+    cts_in = [ct, Ciphertext(ct.data, level, s)]
+
+    def timed_lt():
+        @jax.jit
+        def lt_once(d0, d1):
+            c0 = Ciphertext(d0, level, s)
+            c1 = Ciphertext(d1, level, s)
+            outs = lts.eval_transform_blocked_scan(ev, grid, [c0, c1], 2)
+            return [o.data for o in outs]
+
+        o = lt_once(ct.data, ct.data)
+        jax.block_until_ready(o)
+        t0 = time.time()
+        for _ in range(8):
+            o = lt_once(ct.data, ct.data)
+        jax.block_until_ready(o)
+        return (time.time() - t0) / 8
+
+    t_lt = timed_lt()
+    os.environ["ORION_TPU_DEFER_MODDOWN"] = "0"
+    t_lt_nodefer = timed_lt()
+    del os.environ["ORION_TPU_DEFER_MODDOWN"]
+
     # --- forward NTT over a full ciphertext (2 x L x N) ---
     @jax.jit
     def ntt_chain(c):
@@ -202,6 +259,11 @@ def microbench():
 
     return {
         "ct_mult_per_s": 1.0 / t_mult,
+        "ct_mult_rescale_per_s": 1.0 / t_mult_rs,
+        "ct_mult_rescale_ms": t_mult_rs * 1e3,
+        "lt_block2x2_ms": t_lt * 1e3,
+        "lt_block2x2_ms_nodefer": t_lt_nodefer * 1e3,
+        "lt_defer_moddown_speedup": t_lt_nodefer / t_lt,
         "ct_mult_batched_per_s": 1.0 / t_mult_b,
         "keyswitch_per_s": 1.0 / t_ks,
         "keyswitch_jnp_per_s": 1.0 / t_ks_jnp,

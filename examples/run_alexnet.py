@@ -26,6 +26,9 @@ def main():
         Path(__file__).parent.parent / "configs" / "alexnet.yml"))
     ap.add_argument("--fhe", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--aot", type=int, default=0, metavar="N",
+                    help="AOT-compile all forward programs with N "
+                         "parallel threads before the first forward")
     args = ap.parse_args()
 
     if args.cpu:
@@ -52,6 +55,12 @@ def main():
     net.he()
     from orion_tpu.runtime.jit import enable_module_jit
     enable_module_jit(scheme)
+    if args.aot:
+        from orion_tpu.runtime.jit import aot_precompile_forward
+        t0 = time.time()
+        nprog = aot_precompile_forward(net, scheme, ct, workers=args.aot)
+        print(f"AOT: {nprog} programs compiled in {time.time()-t0:.1f}s "
+              f"({args.aot} threads)")
     start = time.time()
     out = net(ct)
     import jax

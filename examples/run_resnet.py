@@ -28,6 +28,9 @@ def main():
         Path(__file__).parent.parent / "configs" / "resnet.yml"))
     ap.add_argument("--fhe", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--aot", type=int, default=0, metavar="N",
+                    help="AOT-compile all forward programs with N "
+                         "parallel threads before the first forward")
     ap.add_argument("--whole-jit", action="store_true",
                     help="trace the full net into one XLA program "
                          "(only viable for shallow nets; default is "
@@ -62,6 +65,12 @@ def main():
         from orion_tpu.runtime.jit import enable_module_jit
         enable_module_jit(scheme)
         forward = net
+    if args.aot and not args.whole_jit:
+        from orion_tpu.runtime.jit import aot_precompile_forward
+        t0 = time.time()
+        nprog = aot_precompile_forward(net, scheme, ct, workers=args.aot)
+        print(f"AOT: {nprog} programs compiled in {time.time()-t0:.1f}s "
+              f"({args.aot} threads)")
     start = time.time()
     out = forward(ct)
     import jax

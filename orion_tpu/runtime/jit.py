@@ -15,6 +15,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 
 from ..crypto.ciphertext import Ciphertext
 from .tensors import CipherTensor
@@ -210,6 +211,17 @@ def make_module_runner(scheme):
         else:
             sig = id(module)
         key = (sig, tuple(spec))
+        aot = getattr(scheme, "aot_pending", None)
+
+        def fake_out(side):
+            # discovery pass: return zero ciphertexts with the real
+            # metadata/shapes so downstream modules trace their own
+            # programs without executing this one
+            lv, sc, shape, on_shape = side["meta"]
+            cts = [Ciphertext(jnp.zeros(shp, dt), l, s)
+                   for (shp, dt), l, s in zip(side["out_shapes"], lv, sc)]
+            return CipherTensor(scheme, cts, shape, on_shape)
+
         if key not in cache:
             side = {}
 
@@ -237,12 +249,25 @@ def make_module_runner(scheme):
                                  out.shape, out.on_shape)
                 return [c.data for c in out.cts]
 
-            cache[key] = (jax.jit(fn), side)
+            jitted = jax.jit(fn)
+            name = getattr(module, "_orion_name", None) or \
+                type(module).__name__
+            if aot is not None:
+                # discovery pass: LOWER (traces fn, filling side["meta"])
+                # but don't compile/execute — the pool compiles all
+                # pending programs concurrently afterwards
+                bufs = [sw.getter() for sw in swaps]
+                lowered = jitted.lower(flat, bufs)
+                side["out_shapes"] = [
+                    (tuple(x.shape), x.dtype)
+                    for x in jax.tree_util.tree_leaves(lowered.out_info)]
+                cache[key] = (jitted, side)
+                aot.append((key, cache, lowered, side, name))
+                return fake_out(side)
+            cache[key] = (jitted, side)
             if log:
                 bufs = [sw.getter() for sw in swaps]
                 mb = sum(getattr(b, "nbytes", 0) for b in bufs) / 1e6
-                name = getattr(module, "_orion_name", None) or \
-                    type(module).__name__
                 print(f"[jit] NEW program for {name} "
                       f"(bufs {mb:.0f} MB, {len(cache)} programs so far)",
                       flush=True)
@@ -257,6 +282,10 @@ def make_module_runner(scheme):
                     [Ciphertext(d, l, s)
                      for d, l, s in zip(outs, lv, sc)], shape, on_shape)
         jf, side = cache[key]
+        if aot is not None and "out_shapes" in side:
+            # discovery pass over an already-lowered (possibly not yet
+            # compiled) program: never execute, just propagate metadata
+            return fake_out(side)
         outs = jf(flat, [sw.getter() for sw in swaps])
         lv, sc, shape, on_shape = side["meta"]
         cts = [Ciphertext(d, l, s) for d, l, s in zip(outs, lv, sc)]
@@ -319,7 +348,22 @@ class PhaseRunner:
                 _side["single"] = not isinstance(out, tuple)
                 return [o.data for o in outs]
 
-            self.cache[key] = (jax.jit(wrapped), side)
+            jitted = jax.jit(wrapped)
+            aot = getattr(self.scheme, "aot_pending", None)
+            if aot is not None:
+                lowered = jitted.lower([c.data for c in cts],
+                                       [sw.getter() for sw in swaps])
+                side["out_shapes"] = [
+                    (tuple(x.shape), x.dtype)
+                    for x in jax.tree_util.tree_leaves(lowered.out_info)]
+                self.cache[key] = (jitted, side)
+                aot.append((key, self.cache, lowered, side,
+                            f"phase {tag}"))
+                res = [Ciphertext(jnp.zeros(shp, dt), lv, sc)
+                       for (shp, dt), (lv, sc) in zip(side["out_shapes"],
+                                                      side["meta"])]
+                return res[0] if side["single"] else tuple(res)
+            self.cache[key] = (jitted, side)
             if os.environ.get("ORION_TPU_JIT_LOG", "") not in ("", "0"):
                 print(f"[jit] NEW phase program {tag} "
                       f"({len(self.cache)} phases so far)", flush=True)
@@ -334,10 +378,64 @@ class PhaseRunner:
                        for d, (lv, sc) in zip(outs, s["meta"])]
                 return res[0] if s["single"] else tuple(res)
         jf, side = self.cache[key]
+        if getattr(self.scheme, "aot_pending", None) is not None and \
+                "out_shapes" in side:
+            res = [Ciphertext(jnp.zeros(shp, dt), lv, sc)
+                   for (shp, dt), (lv, sc) in zip(side["out_shapes"],
+                                                  side["meta"])]
+            return res[0] if side["single"] else tuple(res)
         outs = jf([c.data for c in cts], [sw.getter() for sw in swaps])
         res = [Ciphertext(d, lv, sc)
                for d, (lv, sc) in zip(outs, side["meta"])]
         return res[0] if side["single"] else tuple(res)
+
+
+def aot_precompile_forward(net, scheme, ct, workers: int = 4):
+    """AOT-compile every program of net's encrypted forward, in parallel.
+
+    Pass 1 (discovery) runs the forward with the module/phase runners in
+    LOWER-only mode: each program is traced (metadata propagates through
+    zero-filled stand-in ciphertexts) but not compiled.  Pass 2 compiles
+    all pending programs in a thread pool — the XLA compile path (incl.
+    the axon remote-compile service) parallelizes across threads
+    (tools/compile_parallel_probe.py measured 3.1x with 3 threads), so a
+    deep net's cold start drops from sum(compiles) to roughly
+    max-chain/workers.  Requires enable_module_jit(scheme) first.
+
+    Returns the number of programs compiled.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    if getattr(scheme, "module_runner", None) is None:
+        raise RuntimeError("call enable_module_jit(scheme) first")
+    log = os.environ.get("ORION_TPU_JIT_LOG", "") not in ("", "0")
+    scheme.aot_pending = []
+    try:
+        net(ct)
+    finally:
+        pending = scheme.aot_pending
+        del scheme.aot_pending
+    if log:
+        print(f"[aot] discovered {len(pending)} programs; compiling with "
+              f"{workers} threads", flush=True)
+    t0 = time.time()
+
+    def compile_one(item):
+        key, cache, lowered, side, name = item
+        t1 = time.time()
+        compiled = lowered.compile()
+        cache[key] = (compiled, side)
+        if log:
+            print(f"[aot] compiled {name} in {time.time()-t1:.1f}s",
+                  flush=True)
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(compile_one, pending))
+    if log:
+        print(f"[aot] {len(pending)} programs compiled in "
+              f"{time.time()-t0:.1f}s", flush=True)
+    return len(pending)
 
 
 def enable_module_jit(scheme):
