@@ -89,7 +89,16 @@ class Bootstrap(Module):
 
     def compile(self):
         elements = int(np.prod(self.fhe_input_shape))
-        curr_slots = 2 ** math.ceil(math.log2(elements))
+        ring_slots = self.scheme.ctx.slots
+        if elements >= ring_slots:
+            # multi-ciphertext tensor: each member bootstraps at the full
+            # slot count, so the plaintext grid must span exactly
+            # n_cts * slots — rounding the TOTAL to a power of two would
+            # mint more plaintexts than ciphertexts whenever n_cts is not
+            # a power of two (AlexNet's 12-ct feature tensors)
+            curr_slots = -(-elements // ring_slots) * ring_slots
+        else:
+            curr_slots = 2 ** math.ceil(math.log2(elements))
         self.slot_count = curr_slots
         self.scheme.bootstrapper.generate_bootstrapper(curr_slots)
         vec = np.zeros(curr_slots)
